@@ -1,0 +1,176 @@
+"""Objectron crop dataset (COCO-style JSON + JPEGs) and a synthetic twin.
+
+Behaviour parity with the reference map-style dataset
+(torchdet3d/dataloaders/objectron_main.py):
+
+* keypoints clipped to [3, dim-3] before cropping (:129-137);
+* crop box = keypoint extent ±10 px, clamped to the frame (:98-127);
+* 1-based COCO ``category_id`` → 0-based (:55); nearest-class fallback when
+  ``num_classes < 9`` (:57); category filtering (:36-43);
+* train/val items → (image, kps, category); test additionally returns the
+  original frame + crop coords (:89-96).
+
+TPU-first difference: items are resized to the static target size *here*
+(host, cv2) and keypoints are returned in resized-pixel coordinates; all
+photometric/geometric augmentation and normalization runs batched on device
+(data/transforms.py) instead of per-sample in worker processes.
+
+``SyntheticObjectron`` produces valid random box projections (3D box →
+pinhole projection → 9 keypoints) so the full pipeline — including EPnP
+lift + 3D IoU metrics — can run end-to-end without the real dataset.
+"""
+
+import json
+import os.path as osp
+from pathlib import Path
+
+import numpy as np
+
+from ..core import OBJECTRON_CLASSES
+from ..ops.geometry import get_default_camera_matrix
+
+try:
+    import cv2 as cv
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+__all__ = ['Objectron', 'SyntheticObjectron']
+
+
+def _clamp(x, lo, hi):
+    return min(max(x, lo), hi)
+
+
+class Objectron:
+    """Map-style dataset over the converted COCO annotations."""
+
+    def __init__(self, root_folder, mode='train', resize=(224, 224),
+                 debug_mode=False, category_list='all'):
+        self.root_folder = str(root_folder)
+        self.mode = mode
+        self.resize = tuple(resize)
+        self.debug_mode = debug_mode
+        self.num_classes = (len(category_list)
+                            if isinstance(category_list, (list, tuple))
+                            else len(OBJECTRON_CLASSES))
+        ann_name = ('objectron_train.json' if mode == 'train'
+                    else 'objectron_test.json')
+        if mode not in ('train', 'val', 'test'):
+            raise RuntimeError('Unknown dataset mode')
+        ann_path = Path(root_folder).resolve() / 'annotations' / ann_name
+        with open(ann_path, 'r') as f:
+            ann = json.load(f)
+
+        if category_list != 'all':
+            self.annotations = [
+                a for a in ann['annotations']
+                if OBJECTRON_CLASSES[a['category_id'] - 1] in category_list]
+            image_ids = {a['image_id'] for a in self.annotations}
+            self.images = {img['id']: img for img in ann['images']
+                           if img['id'] in image_ids}
+        else:
+            self.annotations = ann['annotations']
+            self.images = {img['id']: img for img in ann['images']}
+
+    def __len__(self):
+        return len(self.annotations)
+
+    def __getitem__(self, idx):
+        ann = self.annotations[idx]
+        cat_id = int(ann['category_id']) - 1
+        category = min(range(self.num_classes), key=lambda x: abs(x - cat_id))
+        img_path = osp.join(self.root_folder, self.images[ann['image_id']]['file_name'])
+        image = cv.imread(img_path)
+        assert image is not None, f'missing image {img_path}'
+        kps = np.asarray(ann['keypoints'], np.float32).reshape(9, 2)
+        crop_kps, crop_img, crop_cords = self.crop(image, kps)
+        # host resize to the static target; kps follow
+        th, tw = self.resize
+        ch, cw = crop_img.shape[:2]
+        resized = cv.resize(crop_img, (tw, th), interpolation=cv.INTER_LINEAR)
+        kps_px = crop_kps * np.asarray([tw / cw, th / ch], np.float32)
+        if self.mode == 'test':
+            return image, resized, kps_px, category, crop_cords
+        return resized, kps_px, category
+
+    def crop(self, image, keypoints):
+        """Clip keypoints, derive the ±10 px box, crop (reference :98-127)."""
+        real_h, real_w = image.shape[:2]
+        clipped = self.clip_bb(keypoints, real_w, real_h)
+        x0 = int(_clamp(clipped[:, 0].min() - 10, 0, real_w))
+        y0 = int(_clamp(clipped[:, 1].min() - 10, 0, real_h))
+        x1 = int(_clamp(clipped[:, 0].max() + 10, 0, real_w))
+        y1 = int(_clamp(clipped[:, 1].max() + 10, 0, real_h))
+        crop_img = image[y0:y1, x0:x1]
+        shifted = clipped - np.asarray([x0, y0], np.float32)
+        return shifted.astype(np.float32), crop_img, (x0, y0, x1, y1)
+
+    @staticmethod
+    def clip_bb(kps, w, h):
+        """Clip keypoint coords to [3, dim-3] (reference :129-137)."""
+        out = np.empty_like(kps, dtype=np.float32)
+        out[:, 0] = np.clip(kps[:, 0], 3, w - 3)
+        out[:, 1] = np.clip(kps[:, 1], 3, h - 3)
+        return out
+
+
+class SyntheticObjectron:
+    """Procedurally generated valid box projections, API-compatible with
+    ``Objectron`` — used by tests, benchmarks, and smoke training."""
+
+    def __init__(self, length=1024, mode='train', resize=(224, 224), seed=7,
+                 category_list='all', num_classes=9):
+        self.length = length
+        self.mode = mode
+        self.resize = tuple(resize)
+        self.seed = seed
+        self.num_classes = (len(category_list)
+                            if isinstance(category_list, (list, tuple))
+                            else num_classes)
+
+    def __len__(self):
+        return self.length
+
+    def _box_projection(self, rng):
+        """Random 3D box in front of the camera → 9 projected keypoints."""
+        # random scale / rotation / translation (z < 0, Objectron convention)
+        scale = rng.uniform(0.2, 0.6, size=3)
+        angles = rng.uniform(-np.pi, np.pi, size=3)
+        cx_, sx = np.cos(angles[0]), np.sin(angles[0])
+        cy_, sy = np.cos(angles[1]), np.sin(angles[1])
+        cz_, sz = np.cos(angles[2]), np.sin(angles[2])
+        rot = (np.array([[1, 0, 0], [0, cx_, -sx], [0, sx, cx_]]) @
+               np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]]) @
+               np.array([[cz_, -sz, 0], [sz, cz_, 0], [0, 0, 1]]))
+        t = np.array([rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3),
+                      rng.uniform(-3.0, -1.5)])
+        corners = np.array([[sx_, sy_, sz_] for sx_ in (-1, 1)
+                            for sy_ in (-1, 1) for sz_ in (-1, 1)], np.float64)
+        pts = np.concatenate([[np.zeros(3)], corners * scale / 2]) @ rot.T + t
+        cam = get_default_camera_matrix()
+        proj = (cam @ pts.T).T
+        proj = proj / (-proj[:, 2:3])
+        return proj[:, :2]  # normalized [0,1]-ish screen coords
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        for _ in range(32):
+            kps01 = self._box_projection(rng)
+            if np.all(kps01 > 0.05) and np.all(kps01 < 0.95):
+                break
+        th, tw = self.resize
+        kps_px = (kps01 * np.asarray([tw, th])).astype(np.float32)
+        category = int(rng.randint(0, self.num_classes))
+        img = rng.randint(0, 255, size=(th, tw, 3)).astype(np.uint8)
+        # draw the wireframe so the task is learnable from pixels
+        if _HAS_CV2:
+            from ..utils.drawing import EDGES
+            pts = kps_px.astype(int)
+            color = tuple(int(c) for c in
+                          np.linspace(40, 215, 3 * 9)[category::9][:3])
+            for a, b in EDGES:
+                cv.line(img, tuple(pts[a]), tuple(pts[b]), color, 2)
+        if self.mode == 'test':
+            return img, img.copy(), kps_px, category, (0, 0, tw, th)
+        return img, kps_px, category

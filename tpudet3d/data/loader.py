@@ -1,0 +1,135 @@
+"""Host input pipeline: threaded prefetch → pinned numpy batches → device.
+
+Replaces the reference's fork-based DataLoader workers
+(torchdet3d/builders/loader_builder.py:14-36): decode/crop/resize happen on
+background threads (IO-bound; cv2 releases the GIL), batches are stacked
+into reusable numpy buffers and the training loop overlaps host prep with
+device compute via a bounded prefetch queue.  Augmentation is NOT done here
+— it runs batched on device (data/transforms.py).
+
+Loader shuffle semantics mirror the reference: train shuffled, val shuffled,
+test ordered (loader_builder.py:20-34, SURVEY.md §8.2).
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .dataset import Objectron, SyntheticObjectron
+
+__all__ = ['BatchLoader', 'build_loader']
+
+
+class BatchLoader:
+    """Iterable over (imgs_u8 [B,H,W,3], kps_px [B,9,2], cats [B]) batches."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_threads=4, prefetch=2, seed=0, pad_partial=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.pad_partial = pad_partial
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        n_full = len(idx) // self.batch_size
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_full)]
+        rem = len(idx) - n_full * self.batch_size
+        if rem and not self.drop_last:
+            tail = idx[n_full * self.batch_size:]
+            if self.pad_partial:
+                # pad to the static batch size by wrapping; return the true
+                # count so metrics can mask (keeps one jit shape)
+                pad = idx[:self.batch_size - rem]
+                batches.append(np.concatenate([tail, pad]))
+            else:
+                batches.append(tail)
+        self._true_tail = rem if rem else self.batch_size
+        return batches
+
+    def _assemble(self, indices):
+        items = [self.dataset[int(i)] for i in indices]
+        imgs = np.stack([it[0] for it in items])
+        kps = np.stack([it[1] for it in items])
+        cats = np.asarray([it[2] for it in items], np.int32)
+        return imgs, kps, cats
+
+    def __iter__(self):
+        batches = self._index_batches()
+        self._epoch += 1
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                futures = [pool.submit(self._assemble, b) for b in batches]
+                for i, fut in enumerate(futures):
+                    if stop.is_set():
+                        for f in futures[i:]:
+                            f.cancel()
+                        break
+                    q.put(fut.result())
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            n_emitted = 0
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                imgs, kps, cats = item
+                n_emitted += 1
+                is_last = n_emitted == len(batches)
+                true_n = self._true_tail if is_last else self.batch_size
+                yield imgs, kps, cats, true_n
+        finally:
+            stop.set()
+            thread.join(timeout=5)
+
+
+def _make_dataset(config, mode):
+    resize = tuple(config.data.resize)
+    if config.data.get('synthetic', False):
+        length = int(config.data.get('synthetic_length', 1024))
+        if mode != 'train':
+            length = max(length // 4, 1)
+        return SyntheticObjectron(length=length, mode=mode, resize=resize,
+                                  category_list=config.data.category_list)
+    return Objectron(config.data.root, mode=mode, resize=resize,
+                     category_list=config.data.category_list)
+
+
+def build_loader(config, seed=0):
+    """train/val/test loaders (reference builders/loader_builder.py:14-36)."""
+    train = BatchLoader(_make_dataset(config, 'train'),
+                        int(config.data.train_batch_size), shuffle=True,
+                        drop_last=True,
+                        num_threads=int(config.data.num_workers or 4),
+                        seed=seed)
+    val = BatchLoader(_make_dataset(config, 'val'),
+                      int(config.data.val_batch_size), shuffle=True,
+                      num_threads=int(config.data.num_workers or 4),
+                      seed=seed + 1)
+    test = BatchLoader(_make_dataset(config, 'test'),
+                       int(config.data.val_batch_size), shuffle=False,
+                       num_threads=int(config.data.num_workers or 4),
+                       seed=seed + 2)
+    return train, val, test

@@ -1,0 +1,45 @@
+"""Train state: params + BN stats + optimizer + ALWA, as one donated pytree.
+
+The reference scatters this state across objects (model.state_dict(),
+optimizer/scheduler state dicts, LossManager python lists — utils.py:56-64).
+Here it is a single ``flax.struct`` pytree so the whole training step is a
+pure ``state, batch -> state, metrics`` function with donated buffers.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..losses.manager import AlwaState
+
+__all__ = ['TrainState', 'create_train_state']
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    alwa: AlwaState
+    step: jnp.ndarray
+
+
+def create_train_state(model, optimizer, loss_manager, rng, input_shape,
+                       num_classes=9):
+    """Initialize parameters and optimizer state for the wrapped model."""
+    dummy = jnp.zeros(input_shape, jnp.float32)
+    dummy_cats = jnp.zeros((input_shape[0],), jnp.int32)
+    variables = model.init({'params': rng, 'dropout': rng}, dummy, dummy_cats,
+                           train=False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, alwa=loss_manager.init_state(),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def param_count(params):
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

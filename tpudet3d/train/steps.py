@@ -1,0 +1,72 @@
+"""Jitted train / eval step factories.
+
+The hot loop (reference torchdet3d/trainer/train.py:42-108) becomes a single
+compiled XLA program: forward (multi-head select), loss (incl. ALWA state
+transition), backward, optimizer update, and the on-the-fly ADD/SADD/acc
+metrics — no per-batch ``.item()`` device syncs; metrics come back as one
+small device array per step.
+
+Data parallelism: the batch arrives sharded over the mesh 'data' axis
+(parallel.shard_batch) and the state replicated; jit/GSPMD inserts the
+gradient all-reduce.  ``donate_argnums=0`` recycles the state buffers.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..eval.metrics import add_sadd_per_sample, NUM_KEYPOINTS
+from .state import TrainState
+
+__all__ = ['make_train_step', 'make_eval_step']
+
+
+def make_train_step(model, loss_manager, optimizer):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, imgs, gt_kp, gt_cats, dropout_key):
+        def loss_fn(params):
+            (kp, logits), mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                imgs, gt_cats, train=True,
+                rngs={'dropout': dropout_key},
+                mutable=['batch_stats'])
+            loss, new_alwa = loss_manager.parse_losses(
+                kp, gt_kp, logits, gt_cats, state.step, state.alwa)
+            return loss, (mutated['batch_stats'], kp, logits, new_alwa)
+
+        (loss, (new_bs, kp, logits, new_alwa)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+
+        add_sum, sadd_sum = add_sadd_per_sample(kp, gt_kp)
+        metrics = jnp.stack([
+            loss,
+            jnp.mean(add_sum) / NUM_KEYPOINTS,
+            jnp.mean(sadd_sum) / NUM_KEYPOINTS,
+            jnp.mean((jnp.argmax(logits, axis=1) == gt_cats).astype(jnp.float32)),
+        ])
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt_state, alwa=new_alwa,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, num_classes=9, compute_iou=True):
+    """Per-batch evaluation: per-class metric sums + counts, on device
+    (replaces reference evaluate.py:88-114 + metrics.py:39-89)."""
+    from ..eval.metrics import _metrics_segments
+
+    @jax.jit
+    def eval_step(params, batch_stats, imgs, gt_kp, gt_cats):
+        kp, logits = model.apply({'params': params, 'batch_stats': batch_stats},
+                                 imgs, gt_cats, train=False)
+        return _metrics_segments(kp, gt_kp, logits, gt_cats,
+                                 num_classes, compute_iou), (kp, logits)
+
+    return eval_step

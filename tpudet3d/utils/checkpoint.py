@@ -1,0 +1,119 @@
+"""Orbax checkpointing with the reference's save/resume semantics.
+
+Parity targets (torchdet3d/utils/utils.py:56-64, 86-208):
+
+* ``save_snap`` writes ``snap_{epoch}`` with params / batch_stats /
+  opt_state / alwa / epoch every ``save_freq`` epochs and on the last epoch.
+* ``resume_from`` restores everything and returns ``epoch + 1``.
+* ``load_pretrained_weights`` is *tolerant*: leaves whose path or shape does
+  not match the target tree are skipped with a report (the reference strips
+  ``module.`` DataParallel prefixes; the JAX equivalent failure mode is a
+  changed head shape, which we skip the same way).
+"""
+
+import os
+import os.path as osp
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ['save_snap', 'resume_from', 'load_pretrained_weights',
+           'latest_snapshot', 'snapshot_path']
+
+
+def snapshot_path(log_path, epoch):
+    return osp.abspath(osp.join(log_path, f'snap_{epoch}'))
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_snap(state, epoch, log_path):
+    """Save the full TrainState + epoch marker."""
+    path = snapshot_path(log_path, epoch)
+    print(f'==> saving checkpoint to {path}')
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {'state': jax.device_get(state), 'epoch': epoch},
+                   force=True)
+
+
+def latest_snapshot(log_path):
+    """Newest snap_{epoch} dir by epoch number (reference export.py:60-62)."""
+    if not osp.isdir(log_path):
+        return None
+    snaps = [d for d in os.listdir(log_path) if re.match(r'snap_\d+$', d)]
+    if not snaps:
+        return None
+    snaps.sort(key=lambda d: int(d.split('_')[1]))
+    return osp.join(log_path, snaps[-1])
+
+
+def _flatten_with_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
+
+
+def merge_matching(target_tree, source_tree, verbose=True):
+    """Copy leaves from source into target wherever path AND shape match
+    (reference load_pretrained_weights tolerance, utils.py:127-183)."""
+    src = _flatten_with_paths(source_tree)
+    matched, discarded = [], []
+
+    def pick(path, leaf):
+        key = jax.tree_util.keystr(path)
+        if key in src and np.shape(src[key]) == np.shape(leaf):
+            matched.append(key)
+            return np.asarray(src[key]).astype(np.asarray(leaf).dtype)
+        discarded.append(key)
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick, target_tree)
+    if verbose:
+        if not matched:
+            raise RuntimeError('The pretrained weights cannot be loaded — '
+                               'no matching layers')
+        if discarded:
+            print(f'** skipped {len(discarded)} unmatched leaves '
+                  f'(first few: {discarded[:5]})')
+        print(f'Successfully loaded {len(matched)} matching leaves')
+    return merged
+
+
+def load_pretrained_weights(state, file_path):
+    """Tolerant partial restore of a saved snapshot into an existing state."""
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(osp.abspath(file_path))
+    saved_state = restored['state'] if 'state' in restored else restored
+    new_params = merge_matching(jax.device_get(state.params),
+                                saved_state['params'])
+    new_bs = merge_matching(jax.device_get(state.batch_stats),
+                            saved_state.get('batch_stats', {}), verbose=False)
+    return state.replace(params=new_params, batch_stats=new_bs)
+
+
+def resume_from(state, chkpt_path):
+    """Full restore: weights + optimizer + alwa; returns (state, start_epoch)
+    with start_epoch = saved epoch + 1 (reference utils.py:199-202)."""
+    print(f'Loading checkpoint from "{chkpt_path}"')
+    abstract = {'state': jax.device_get(state), 'epoch': 0}
+    with ocp.StandardCheckpointer() as ckptr:
+        try:
+            restored = ckptr.restore(osp.abspath(chkpt_path), abstract)
+            new_state = jax.tree_util.tree_map(
+                lambda t, s: np.asarray(s), jax.device_get(state),
+                restored['state'])
+            start_epoch = int(restored['epoch']) + 1
+            print(f'Loaded full train state; last epoch = {start_epoch}')
+            return new_state, start_epoch
+        except Exception as e:  # tolerant fallback: weights only
+            print(f'Full state restore failed ({type(e).__name__}); '
+                  'falling back to weight-only restore')
+            restored = ckptr.restore(osp.abspath(chkpt_path))
+            saved = restored['state'] if 'state' in restored else restored
+            new_params = merge_matching(jax.device_get(state.params),
+                                        saved['params'])
+            epoch = int(restored.get('epoch', -1))
+            return state.replace(params=new_params), epoch + 1
