@@ -116,16 +116,31 @@ def _clip_polygon_by_plane(poly, count, normal, offset, eps):
     return out, new_count
 
 
-def _clip_face_volume(face_poly, handedness, planes_a, planes_b, eps_sign):
-    """Clip one outward-oriented quad by 6 halfspaces; signed volume contribution."""
+def _clip_face_volume(face_poly, handedness, planes_a, planes_b, first_pass):
+    """Clip one outward-oriented quad by 6 halfspaces; signed volume contribution.
+
+    Coincident-plane tie-breaking (so ∂A ∩ ∂B pieces are counted exactly
+    once, and exactly zero times when the boxes merely touch):
+      * pass 1 (A's faces vs B's planes): keep a face lying ON a B plane
+        only when the normals point the same way (overlapping boxes);
+        drop when they oppose (touching boxes → empty intersection);
+      * pass 2 (B's faces vs A's planes): always drop coincident pieces —
+        pass 1 already counted them.
+    """
     poly = jnp.zeros((_MAXV, 3), dtype=face_poly.dtype)
     poly = poly.at[:4].set(face_poly)
     count = jnp.int32(4)
+    face_n = jnp.cross(face_poly[1] - face_poly[0],
+                       face_poly[2] - face_poly[0]) * handedness
 
     def body(i, carry):
         poly, count = carry
         # relative tolerance; normals are unnormalized so scale by |offset|
-        eps = eps_sign * 1e-5 * (1.0 + jnp.abs(planes_b[i]))
+        tol = 1e-5 * (1.0 + jnp.abs(planes_b[i]))
+        if first_pass:
+            eps = tol * jnp.sign(jnp.sum(face_n * planes_a[i]))
+        else:
+            eps = -tol
         poly, count = _clip_polygon_by_plane(poly, count, planes_a[i],
                                              planes_b[i], eps)
         return poly, count
@@ -165,16 +180,15 @@ def iou_oriented_boxes(kp1, kp2):
     corners2 = kp2[..., 1:9, :]
     faces = jnp.asarray(_FACES)
 
-    def one_pair(corners_a, hand_a, planes_n, planes_o, eps_sign):
+    def one_pair(corners_a, hand_a, planes_n, planes_o, first_pass):
         polys = corners_a[faces]                                   # [6, 4, 3]
         vols = jax.vmap(lambda p: _clip_face_volume(
-            p, hand_a, planes_n, planes_o, eps_sign))(polys)
+            p, hand_a, planes_n, planes_o, first_pass))(polys)
         return jnp.sum(vols)
 
     def pair_fn(c1_, h1_, A2_, b2_, c2_, h2_, A1_, b1_):
-        # +tol / -tol asymmetry: coincident boundary pieces counted once
-        vi = (one_pair(c1_, h1_, A2_, b2_, 1.0) +
-              one_pair(c2_, h2_, A1_, b1_, -1.0))
+        vi = (one_pair(c1_, h1_, A2_, b2_, True) +
+              one_pair(c2_, h2_, A1_, b1_, False))
         return vi
 
     batch_shape = kp1.shape[:-2]
