@@ -1,0 +1,115 @@
+"""Train the MNv2-SSD-300 2D detector.
+
+The reference delegates this step to an external mmdetection fork
+(README.md:51-57); here it is first-party: jitted SSD train step over the
+data-parallel mesh, mmdet-style warmup+step LR, Orbax checkpoints.
+"""
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpudet3d.core import (read_py_config, Logger, set_random_seed,
+                           mkdir_if_missing)
+from tpudet3d.data.detection_dataset import DetectionDataset, SyntheticDetection
+from tpudet3d.data.det_transforms import build_detector_augmentations
+from tpudet3d.data.loader import BatchLoader
+from tpudet3d.detect import SSDDetector
+from tpudet3d.detect.train import (create_detector_state,
+                                   make_detector_train_step, warmup_step_lr,
+                                   DetectorTrainer)
+from tpudet3d.parallel import make_mesh, shard_batch, replicate
+from functools import partial
+
+
+class _DetBatchLoader(BatchLoader):
+    """BatchLoader over (img, boxes, labels, valid) detection items."""
+
+    def _assemble(self, indices):
+        items = [self.dataset[int(i)] for i in indices]
+        return tuple(np.stack([it[k] for it in items]) for k in range(4))
+
+
+def main():
+    parser = argparse.ArgumentParser(description='SSD detector training')
+    parser.add_argument('--config', type=str,
+                        default='./configs/detection/mnv2_ssd_300.py')
+    parser.add_argument('--root', type=str, default='')
+    parser.add_argument('--output_dir', type=str, default='')
+    args = parser.parse_args()
+    cfg = read_py_config(args.config)
+    if args.root:
+        cfg.data.root = args.root
+    if args.output_dir:
+        cfg.output_dir = args.output_dir
+    mkdir_if_missing(cfg.output_dir)
+    sys.stdout = Logger(osp.join(cfg.output_dir,
+                                 'det_train.log' + time.strftime('-%Y-%m-%d-%H-%M-%S')))
+    root_key = set_random_seed(int(cfg.utils.random_seeds))
+
+    mesh = make_mesh(jax.devices()[:int(cfg.data_parallel.num_devices)]
+                     if cfg.data_parallel.num_devices else None)
+
+    dtype = jnp.bfloat16 if cfg.model.get('bf16', False) else jnp.float32
+    model = SSDDetector(num_classes=int(cfg.model.num_classes),
+                        width_mult=float(cfg.model.width_mult), dtype=dtype)
+
+    base_lr = float(cfg.optim.lr)
+    opt = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(float(cfg.optim.wd)),
+            optax.sgd(learning_rate, momentum=float(cfg.optim.momentum))))(
+        learning_rate=base_lr)
+
+    state = create_detector_state(model, opt, root_key,
+                                  input_size=int(cfg.input_size))
+    state = replicate(state, mesh)
+
+    if cfg.data.synthetic:
+        ds = SyntheticDetection(length=int(cfg.data.synthetic_length),
+                                input_size=int(cfg.input_size),
+                                max_boxes=int(cfg.data.max_boxes))
+    else:
+        ds = DetectionDataset(cfg.data.root, 'train',
+                              input_size=int(cfg.input_size),
+                              min_size=int(cfg.data.min_size),
+                              max_boxes=int(cfg.data.max_boxes))
+    loader = _DetBatchLoader(ds, int(cfg.data.train_batch_size), shuffle=True,
+                             drop_last=True,
+                             num_threads=int(cfg.data.num_workers))
+
+    lr_fn = warmup_step_lr(base_lr=base_lr,
+                           warmup_iters=int(cfg.scheduler.warmup_iters),
+                           warmup_ratio=float(cfg.scheduler.warmup_ratio),
+                           milestones=tuple(cfg.scheduler.steps),
+                           gamma=float(cfg.scheduler.gamma),
+                           steps_per_epoch=max(len(loader), 1))
+
+    def set_lr(opt_state, lr):
+        opt_state.hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+
+    trainer = DetectorTrainer(
+        train_step=make_detector_train_step(model, opt),
+        state=state, train_loader=loader, lr_fn=lr_fn, opt_set_lr=set_lr,
+        max_epoch=int(cfg.data.max_epochs), log_path=cfg.output_dir,
+        print_freq=int(cfg.utils.print_freq),
+        save_freq=int(cfg.utils.save_freq),
+        augment_fn=jax.jit(build_detector_augmentations(
+            flip_p=float(cfg.augment.flip_p), rot_p=float(cfg.augment.rot_p))),
+        put_fn=partial(shard_batch, mesh=mesh),
+        rng=jax.random.PRNGKey(int(cfg.utils.random_seeds) + 1))
+
+    for epoch in range(int(cfg.data.max_epochs)):
+        trainer.train(epoch, epoch == int(cfg.data.max_epochs) - 1)
+
+
+if __name__ == '__main__':
+    main()

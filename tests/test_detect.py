@@ -1,0 +1,141 @@
+"""Detector-stage unit tests: anchors, coder, assigner, NMS, loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpudet3d.detect import (generate_anchors, num_anchors_per_level,
+                             encode_boxes, decode_boxes, assign_anchors,
+                             iou_xyxy, greedy_nms, decode_detections,
+                             ssd_loss, SSDDetector)
+
+
+class TestAnchors:
+
+    def test_count_and_validity(self):
+        anchors = generate_anchors()
+        k1, k2 = num_anchors_per_level()
+        assert anchors.shape == (19 * 19 * k1 + 10 * 10 * k2, 4)
+        assert np.all(anchors[:, 2] > anchors[:, 0])
+        assert np.all(anchors[:, 3] > anchors[:, 1])
+
+
+class TestCoder:
+
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        anchors = jnp.asarray(generate_anchors()[:256])
+        shift = rng.uniform(-10, 10, (256, 4)).astype(np.float32)
+        gt = anchors + jnp.asarray(shift)
+        deltas = encode_boxes(anchors, gt)
+        back = decode_boxes(anchors, deltas)
+        assert np.allclose(np.asarray(back), np.asarray(gt), atol=1e-2)
+
+
+class TestAssigner:
+
+    def test_basic_assignment(self):
+        anchors = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30],
+                               [100, 100, 110, 110]], jnp.float32)
+        gt = jnp.asarray([[1, 1, 11, 11], [19, 19, 31, 31],
+                          [0, 0, 0, 0]], jnp.float32)
+        valid = jnp.asarray([True, True, False])
+        assigned, pos = assign_anchors(anchors, gt, valid)
+        assigned = np.asarray(assigned)
+        assert assigned[0] == 0 and assigned[1] == 1 and assigned[2] == -1
+
+    def test_gt_claims_best_anchor_below_thr(self):
+        # IoU < 0.4 but GT still claims its best anchor
+        anchors = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        gt = jnp.asarray([[6, 6, 16, 16]], jnp.float32)
+        valid = jnp.asarray([True])
+        assigned, pos = assign_anchors(anchors, gt, valid)
+        assert np.asarray(assigned)[0] == 0
+
+    def test_padded_gt_never_matches(self):
+        anchors = jnp.asarray(generate_anchors()[:64])
+        gt = jnp.zeros((4, 4), jnp.float32)
+        valid = jnp.zeros((4,), bool)
+        assigned, pos = assign_anchors(anchors, gt, valid)
+        assert not np.any(np.asarray(pos))
+
+
+class TestNMS:
+
+    def test_greedy_nms_suppresses(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 10.5, 10.5],
+                             [50, 50, 60, 60]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        keep = np.asarray(greedy_nms(boxes, scores, iou_thr=0.45))
+        assert keep.tolist() == [True, False, True]
+
+    def test_decode_detections_shapes(self):
+        anchors = jnp.asarray(generate_anchors())
+        A = anchors.shape[0]
+        rng = jax.random.PRNGKey(0)
+        logits = jax.random.normal(rng, (A, 10))
+        deltas = jnp.zeros((A, 4))
+        out = np.asarray(decode_detections(logits, deltas, anchors,
+                                           max_per_img=50, pre_nms_k=64))
+        assert out.shape == (50, 6)
+        # scores sorted desc
+        assert np.all(np.diff(out[:, 4]) <= 1e-6)
+
+
+class TestSSDLoss:
+
+    def test_loss_finite_and_grads(self):
+        anchors = jnp.asarray(generate_anchors()[:128])
+        B, A = 2, 128
+        key = jax.random.PRNGKey(0)
+        logits = jax.random.normal(key, (B, A, 10))
+        deltas = jax.random.normal(jax.random.PRNGKey(1), (B, A, 4)) * 0.1
+        gt_boxes = jnp.asarray(np.tile(np.asarray(anchors)[:3][None], (B, 1, 1)))
+        gt_labels = jnp.asarray([[0, 3, 7]] * B, jnp.int32)
+        gt_valid = jnp.ones((B, 3), bool)
+
+        def loss_fn(lg, dl):
+            total, _ = ssd_loss(lg, dl, anchors, gt_boxes, gt_labels, gt_valid)
+            return total
+
+        val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(logits, deltas)
+        assert np.isfinite(float(val))
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_loss_zero_when_perfect(self):
+        from tpudet3d.detect.coder import encode_boxes
+        anchors = jnp.asarray(generate_anchors()[:64])
+        gt_boxes = anchors[None, :2]
+        gt_labels = jnp.asarray([[1, 2]], jnp.int32)
+        gt_valid = jnp.ones((1, 2), bool)
+        # derive the true assignment, then construct perfect predictions
+        assigned, pos = assign_anchors(anchors, gt_boxes[0], gt_valid[0])
+        assigned = np.asarray(assigned)
+        pos = np.asarray(pos)
+        logits = np.zeros((1, 64, 10), np.float32)
+        logits[0, :, 9] = 20.0                          # background default
+        deltas = np.zeros((1, 64, 4), np.float32)
+        labels_np = np.asarray([1, 2])
+        target = encode_boxes(anchors, gt_boxes[0][np.maximum(assigned, 0)])
+        for a in np.nonzero(pos)[0]:
+            logits[0, a, 9] = 0.0
+            logits[0, a, labels_np[assigned[a]]] = 20.0
+            deltas[0, a] = np.asarray(target)[a]
+        total, parts = ssd_loss(jnp.asarray(logits), jnp.asarray(deltas),
+                                anchors, gt_boxes, gt_labels, gt_valid)
+        assert float(parts['cls_loss']) < 1e-3
+        assert float(parts['reg_loss']) < 1e-5
+
+
+class TestSSDModel:
+
+    def test_forward_shapes(self):
+        model = SSDDetector(num_classes=9)
+        key = jax.random.PRNGKey(0)
+        x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+        variables = model.init(key, x)
+        logits, deltas = model.apply(variables, x)
+        A = generate_anchors().shape[0]
+        assert logits.shape == (1, A, 10)
+        assert deltas.shape == (1, A, 4)

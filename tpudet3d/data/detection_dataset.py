@@ -1,0 +1,122 @@
+"""Full-frame detection dataset (COCO JSON) + synthetic twin for the SSD
+stage.
+
+The reference's detector consumes the same converted COCO annotations
+through the external mmdetection fork (/root/reference/configs/detection/
+mnv2_ssd_300_2_heads.py:62-143: CocoDataset, 300² resize).  Items here are
+grouped per image with all GT boxes, padded to a static ``max_boxes``
+(XLA static shapes) with a validity mask.
+
+Detector class order differs from the regressor's (camera/cereal_box
+swapped — SURVEY.md §8.1); this dataset uses DETECTOR_CLASSES.
+"""
+
+import json
+import os.path as osp
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from ..core import DETECTOR_CLASSES
+
+try:
+    import cv2 as cv
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+__all__ = ['DetectionDataset', 'SyntheticDetection', 'MAX_BOXES']
+
+MAX_BOXES = 16
+
+
+def _pad_boxes(boxes, labels, max_boxes=MAX_BOXES):
+    out_b = np.zeros((max_boxes, 4), np.float32)
+    out_l = np.zeros((max_boxes,), np.int32)
+    out_v = np.zeros((max_boxes,), bool)
+    n = min(len(boxes), max_boxes)
+    if n:
+        out_b[:n] = boxes[:n]
+        out_l[:n] = labels[:n]
+        out_v[:n] = True
+    return out_b, out_l, out_v
+
+
+class DetectionDataset:
+    """Per-image COCO detection items, resized to the static input size."""
+
+    def __init__(self, root_folder, mode='train', input_size=300,
+                 min_size=17, max_boxes=MAX_BOXES):
+        self.root = str(root_folder)
+        self.input_size = input_size
+        self.max_boxes = max_boxes
+        ann_name = ('objectron_train.json' if mode == 'train'
+                    else 'objectron_test.json')
+        with open(Path(root_folder).resolve() / 'annotations' / ann_name) as f:
+            ann = json.load(f)
+        self.images = {img['id']: img for img in ann['images']}
+        per_image = defaultdict(list)
+        for a in ann['annotations']:
+            x, y, w, h = a['bbox']
+            if min(w, h) < min_size:   # mmdet config min_size=17
+                continue
+            per_image[a['image_id']].append(
+                (np.asarray([x, y, x + w, y + h], np.float32),
+                 int(a['category_id']) - 1))
+        self.items = [(img_id, anns) for img_id, anns in per_image.items()
+                      if anns]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        img_id, anns = self.items[idx]
+        info = self.images[img_id]
+        img = cv.imread(osp.join(self.root, info['file_name']))
+        assert img is not None
+        h, w = img.shape[:2]
+        s = self.input_size
+        img = cv.resize(img, (s, s), interpolation=cv.INTER_LINEAR)
+        boxes = np.stack([b for b, _ in anns])
+        boxes = boxes * np.asarray([s / w, s / h, s / w, s / h], np.float32)
+        labels = np.asarray([l for _, l in anns], np.int32)
+        return (img,) + _pad_boxes(boxes, labels, self.max_boxes)
+
+
+class SyntheticDetection:
+    """Random rectangles on noise: lets the SSD train loop run end-to-end
+    without the converted dataset."""
+
+    def __init__(self, length=512, input_size=300, max_boxes=MAX_BOXES,
+                 seed=11, num_classes=len(DETECTOR_CLASSES)):
+        self.length = length
+        self.input_size = input_size
+        self.max_boxes = max_boxes
+        self.seed = seed
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed * 9176 + idx)
+        s = self.input_size
+        img = rng.randint(0, 255, (s, s, 3)).astype(np.uint8)
+        n = rng.randint(1, 4)
+        boxes, labels = [], []
+        for _ in range(n):
+            w = rng.uniform(0.2, 0.7) * s
+            h = rng.uniform(0.2, 0.7) * s
+            x0 = rng.uniform(0, s - w)
+            y0 = rng.uniform(0, s - h)
+            label = rng.randint(0, self.num_classes)
+            boxes.append([x0, y0, x0 + w, y0 + h])
+            labels.append(label)
+            if _HAS_CV2:
+                color = tuple(int(c) for c in rng.randint(0, 255, 3))
+                cv.rectangle(img, (int(x0), int(y0)),
+                             (int(x0 + w), int(y0 + h)), color, -1)
+        return (img,) + _pad_boxes(np.asarray(boxes, np.float32),
+                                   np.asarray(labels, np.int32),
+                                   self.max_boxes)

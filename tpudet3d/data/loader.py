@@ -95,11 +95,10 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
-                imgs, kps, cats = item
                 n_emitted += 1
                 is_last = n_emitted == len(batches)
                 true_n = self._true_tail if is_last else self.batch_size
-                yield imgs, kps, cats, true_n
+                yield (*item, true_n)
         finally:
             stop.set()
             thread.join(timeout=5)

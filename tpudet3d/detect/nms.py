@@ -1,0 +1,70 @@
+"""On-device fixed-shape NMS and SSD detection decode.
+
+XLA-friendly replacement for the host-side SSD output decode of the
+reference (torchdet3d/utils/ie_wrappers.py:94-120) plus the NMS that
+OpenVINO performs inside its DetectionOutput layer (config: nms iou 0.45,
+score_thr 0.02, max_per_img 200 —
+/root/reference/configs/detection/mnv2_ssd_300_2_heads.py:56-60).
+
+Everything is static-shape: per-class top-K pre-selection, an O(K²) greedy
+suppression loop carried through ``fori_loop``, then a global top
+``max_per_img`` across classes.  Scores of padded slots are 0.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .assigner import iou_xyxy
+from .coder import decode_boxes
+
+__all__ = ['greedy_nms', 'decode_detections']
+
+
+def greedy_nms(boxes, scores, iou_thr=0.45, k=None):
+    """boxes [K,4] sorted by score desc, scores [K] → keep mask [K]."""
+    K = boxes.shape[0]
+    ious = iou_xyxy(boxes, boxes)                     # [K,K]
+    tri = jnp.tril(jnp.ones((K, K), bool), -1)        # j < i
+    suppress = (ious > iou_thr) & tri                 # [i, j] := j suppresses i
+
+    def body(i, keep):
+        sup = jnp.any(suppress[i] & keep)
+        return keep.at[i].set(jnp.logical_and(keep[i], jnp.logical_not(sup)))
+
+    keep0 = scores > 0
+    keep = jax.lax.fori_loop(0, K, body, keep0)
+    return keep
+
+
+@partial(jax.jit, static_argnames=('max_per_img', 'pre_nms_k'))
+def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
+                      iou_thr=0.45, max_per_img=200, pre_nms_k=200):
+    """Single image: [A,C+1] logits + [A,4] deltas → [max_per_img, 6]
+    (x1,y1,x2,y2,score,label), score-desc, padded with zeros."""
+    num_classes = cls_logits.shape[-1] - 1
+    probs = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]   # [A,C]
+    boxes_all = decode_boxes(anchors, bbox_deltas)                 # [A,4]
+
+    def per_class(c):
+        scores = probs[:, c]
+        scores = jnp.where(scores > score_thr, scores, 0.0)
+        top_scores, top_idx = jax.lax.top_k(scores, pre_nms_k)
+        top_boxes = boxes_all[top_idx]
+        keep = greedy_nms(top_boxes, top_scores, iou_thr)
+        kept_scores = jnp.where(keep, top_scores, 0.0)
+        return top_boxes, kept_scores
+
+    boxes_c, scores_c = jax.vmap(per_class)(jnp.arange(num_classes))
+    labels_c = jnp.broadcast_to(jnp.arange(num_classes)[:, None],
+                                scores_c.shape)
+    flat_boxes = boxes_c.reshape(-1, 4)
+    flat_scores = scores_c.reshape(-1)
+    flat_labels = labels_c.reshape(-1)
+    final_scores, final_idx = jax.lax.top_k(flat_scores, max_per_img)
+    out = jnp.concatenate([
+        flat_boxes[final_idx],
+        final_scores[:, None],
+        flat_labels[final_idx][:, None].astype(jnp.float32)], axis=-1)
+    return out

@@ -36,6 +36,7 @@ class Evaluator:
     debug: bool = False
     debug_steps: int = 30
     test_dataset: Any = None
+    put_fn: Callable = jnp.asarray
     rng: Any = field(default_factory=lambda: jax.random.PRNGKey(1))
 
     def val(self, epoch=None, compute_iou=True):
@@ -47,14 +48,15 @@ class Evaluator:
 
         state = self.state_fn()
         for it, (imgs, kps, cats, true_n) in enumerate(self.val_loader):
-            imgs_d = jnp.asarray(imgs)
-            kps_d = jnp.asarray(kps)
-            cats_d = jnp.asarray(cats)
+            imgs_d = self.put_fn(imgs)
+            kps_d = self.put_fn(kps)
+            cats_d = self.put_fn(cats)
             if self.test_transform is not None:
                 self.rng, key = jax.random.split(self.rng)
                 imgs_d, kps_d = self.test_transform(imgs_d, kps_d, key)
             (add_s, sadd_s, iou_s, acc_s, counts), _ = self.eval_step(
-                state.params, state.batch_stats, imgs_d, kps_d, cats_d)
+                state.params, state.batch_stats, imgs_d, kps_d, cats_d,
+                compute_iou=bool(compute_iou))
             add_s, sadd_s, iou_s, acc_s, counts = map(
                 np.asarray, (add_s, sadd_s, iou_s, acc_s, counts))
             bs = imgs.shape[0]
@@ -120,7 +122,7 @@ class Evaluator:
                 imgs_d, kps_d = self.test_transform(imgs_d, kps_d, key)
             _, (pred_kp, logits) = self.eval_step(
                 state.params, state.batch_stats, imgs_d, kps_d,
-                jnp.asarray([cat], jnp.int32))
+                jnp.asarray([cat], jnp.int32), compute_iou=False)
             pred_kp = np.asarray(pred_kp[0])
             gt_kp = np.asarray(kps_d[0])
             draw_kp(orig_img, self.transform_kp(gt_kp.copy(), crop_cords),

@@ -1,0 +1,7 @@
+from .engine import TwoStageEngine, EngineConfig
+from .tracker import Track, IOUTracker, TrackedObj, IOUTrackerConfig
+from .export import export_regressor, load_exported, make_export_fn
+
+__all__ = ['TwoStageEngine', 'EngineConfig', 'Track', 'IOUTracker',
+           'TrackedObj', 'IOUTrackerConfig', 'export_regressor',
+           'load_exported', 'make_export_fn']

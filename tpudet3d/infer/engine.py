@@ -1,0 +1,133 @@
+"""The TPU "inference engine": one compiled two-stage graph.
+
+Replaces the reference's OpenVINO deployment (torchdet3d/utils/
+ie_wrappers.py): there, the detector and regressor are separate IE networks,
+detections are decoded on host, and the regressor runs once per detection on
+a host-cropped image (ie_wrappers.py:128-136).  Here the entire pipeline —
+preprocess → SSD forward → anchor decode + NMS → batched crop-resize →
+multi-head regressor → per-crop argmax head select — is a single jitted XLA
+program: the frame is uploaded once and only the final small outputs return
+to host (BASELINE.json north star: no host round-trip).
+
+Async pipelining (reference demo.py:61-85 runs detector on frame N while
+the host processes N−1) falls out of JAX's async dispatch: ``run_async``
+returns device futures; ``wait_and_grab`` materializes them.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detect import generate_anchors, decode_detections, INPUT_SIZE
+from ..ops.image import crop_and_resize, resize_bilinear
+
+__all__ = ['TwoStageEngine', 'EngineConfig']
+
+REG_MEAN = (0.5931, 0.4690, 0.4229)
+REG_STD = (0.2471, 0.2214, 0.2157)
+
+
+@dataclass
+class EngineConfig:
+    max_detections: int = 8
+    det_conf: float = 0.6
+    nms_iou: float = 0.45
+    score_thr: float = 0.02
+    crop_size: Tuple[int, int] = (224, 224)
+    expand_ratio: Tuple[float, float] = (1.0, 1.0)
+    input_is_bgr: bool = True
+
+
+class TwoStageEngine:
+    """Fused detector→regressor engine over fixed frame shapes."""
+
+    def __init__(self, detector_model, detector_vars, regressor_model,
+                 regressor_vars, config: Optional[EngineConfig] = None):
+        self.cfg = config or EngineConfig()
+        self.det_model = detector_model
+        self.det_vars = detector_vars
+        self.reg_model = regressor_model
+        self.reg_vars = regressor_vars
+        self.anchors = jnp.asarray(generate_anchors())
+        self._pending = None
+        self._pending_shape = None
+
+        cfg = self.cfg
+
+        @partial(jax.jit, static_argnames=('h', 'w'))
+        def pipeline(frame_u8, h, w):
+            frame = frame_u8.astype(jnp.float32)
+            if cfg.input_is_bgr:
+                frame = frame[..., ::-1]
+            # stage 1: detector (norm: x/255, config img_norm_cfg)
+            det_in = resize_bilinear(frame, (INPUT_SIZE, INPUT_SIZE)) / 255.0
+            logits, deltas = self.det_model.apply(self.det_vars, det_in[None],
+                                                  train=False)
+            dets = decode_detections(logits[0], deltas[0], self.anchors,
+                                     score_thr=cfg.score_thr,
+                                     iou_thr=cfg.nms_iou,
+                                     max_per_img=cfg.max_detections)
+            boxes300 = dets[:, :4]
+            scores = dets[:, 4]
+            det_labels = dets[:, 5].astype(jnp.int32)
+            # scale boxes to frame pixels + optional expand ratio
+            scale = jnp.asarray([w / INPUT_SIZE, h / INPUT_SIZE,
+                                 w / INPUT_SIZE, h / INPUT_SIZE], jnp.float32)
+            boxes = boxes300 * scale
+            if cfg.expand_ratio != (1.0, 1.0):
+                c = (boxes[:, :2] + boxes[:, 2:]) / 2
+                wh = (boxes[:, 2:] - boxes[:, :2]) * jnp.asarray(
+                    cfg.expand_ratio, jnp.float32)
+                boxes = jnp.concatenate([c - wh / 2, c + wh / 2], axis=-1)
+            boxes = jnp.clip(boxes, 0,
+                             jnp.asarray([w, h, w, h], jnp.float32))
+            # stage 2: batched crop → normalize → all-heads regressor
+            crops = crop_and_resize(frame, boxes, cfg.crop_size)
+            mean = jnp.asarray(REG_MEAN, jnp.float32) * 255
+            std = jnp.asarray(REG_STD, jnp.float32) * 255
+            crops = (crops - mean) / std
+            all_kp, cls_logits = self.reg_model.apply(self.reg_vars, crops,
+                                                      export=True)
+            # pick the head of the predicted class (ie_wrappers.py:138-142)
+            reg_labels = jnp.argmax(cls_logits, axis=-1)          # [N]
+            n = reg_labels.shape[0]
+            kp = all_kp[reg_labels, jnp.arange(n)]                # [N,9,2]
+            conf_mask = scores > cfg.det_conf
+            return boxes, scores, det_labels, kp, reg_labels, conf_mask
+
+        self._pipeline = pipeline
+
+    # --- synchronous API -------------------------------------------------
+    def __call__(self, frame):
+        """frame: HWC uint8 numpy.  Returns dict of numpy outputs for the
+        confident detections (reference Detector conf threshold,
+        ie_wrappers.py:72,101)."""
+        self.run_async(frame)
+        return self.wait_and_grab()
+
+    # --- async (double-buffered) API --------------------------------------
+    def run_async(self, frame):
+        h, w = frame.shape[:2]
+        out = self._pipeline(jnp.asarray(frame), h, w)
+        self._pending = out
+
+    def wait_and_grab(self):
+        assert self._pending is not None, 'no async inference in flight'
+        boxes, scores, det_labels, kp, reg_labels, mask = jax.device_get(
+            self._pending)
+        self._pending = None
+        keep = np.nonzero(mask)[0]
+        return {
+            'boxes': boxes[keep],
+            'scores': scores[keep],
+            'det_labels': det_labels[keep],
+            'kp': kp[keep],
+            'labels': reg_labels[keep],
+        }
+
+    def warmup(self, frame_shape=(720, 1280, 3)):
+        self(np.zeros(frame_shape, np.uint8))

@@ -56,10 +56,11 @@ class LossManager:
         self.compute_std = bool(alwa.compute_std) if self.use_alwa else False
 
     def init_state(self) -> AlwaState:
-        z = jnp.zeros((), jnp.float32)
+        # distinct arrays per field: donated buffers must not alias
+        z = lambda: jnp.zeros((), jnp.float32)
         return AlwaState(lam_cls=jnp.float32(self.lam_cls0),
                          lam_reg=jnp.float32(self.lam_reg0),
-                         sum_cls=z, sumsq_cls=z, sum_reg=z, sumsq_reg=z,
+                         sum_cls=z(), sumsq_cls=z(), sum_reg=z(), sumsq_reg=z(),
                          count=jnp.zeros((), jnp.int32))
 
     def parse_losses(self, pred_kp, gt_kp, pred_cats, gt_cats, iter_,

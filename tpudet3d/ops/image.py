@@ -1,0 +1,69 @@
+"""Device-side image ops: fused crop-resize-normalize, bilinear resize.
+
+These replace the per-detection host-side cv2 crop+resize of the reference
+deployment (torchdet3d/utils/ie_wrappers.py:18-21,154-158): all detected
+boxes are cropped from the frame and resized in one batched XLA gather, so
+the detector → regressor hand-off never leaves HBM (BASELINE.json north
+star).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['crop_and_resize', 'resize_bilinear', 'normalize_images']
+
+
+def resize_bilinear(img, out_hw):
+    """[..., H, W, C] → [..., h, w, C] bilinear (align like cv2/jax.image)."""
+    out_shape = img.shape[:-3] + (out_hw[0], out_hw[1], img.shape[-1])
+    return jax.image.resize(img.astype(jnp.float32), out_shape, 'bilinear')
+
+
+def normalize_images(img, mean, std, max_pixel_value=255.0):
+    mean = jnp.asarray(mean, jnp.float32) * max_pixel_value
+    std = jnp.asarray(std, jnp.float32) * max_pixel_value
+    return (img.astype(jnp.float32) - mean) / std
+
+
+def _bilinear_sample(img, sy, sx):
+    """img [H,W,C]; sy/sx [h,w] float source coords → [h,w,C]."""
+    h_in, w_in = img.shape[0], img.shape[1]
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h_in - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w_in - 1)
+    y1 = jnp.clip(y0 + 1, 0, h_in - 1)
+    x1 = jnp.clip(x0 + 1, 0, w_in - 1)
+    p00 = img[y0, x0]
+    p01 = img[y0, x1]
+    p10 = img[y1, x0]
+    p11 = img[y1, x1]
+    wy = wy[..., None]
+    wx = wx[..., None]
+    return (p00 * (1 - wy) * (1 - wx) + p01 * (1 - wy) * wx +
+            p10 * wy * (1 - wx) + p11 * wy * wx)
+
+
+@partial(jax.jit, static_argnames=('out_hw',))
+def crop_and_resize(image, boxes, out_hw=(224, 224)):
+    """Batched crop+resize: image [H,W,3] (any dtype), boxes [K,4] xyxy in
+    pixels → [K,h,w,3] float32.  cv2.resize-compatible sampling
+    (pixel-center aligned: src = (dst+0.5)*scale − 0.5)."""
+    image = image.astype(jnp.float32)
+    h_out, w_out = out_hw
+
+    def one(box):
+        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+        bw = jnp.maximum(x1 - x0, 1.0)
+        bh = jnp.maximum(y1 - y0, 1.0)
+        ys = (jnp.arange(h_out, dtype=jnp.float32) + 0.5) * (bh / h_out) - 0.5 + y0
+        xs = (jnp.arange(w_out, dtype=jnp.float32) + 0.5) * (bw / w_out) - 0.5 + x0
+        sy = jnp.broadcast_to(ys[:, None], (h_out, w_out))
+        sx = jnp.broadcast_to(xs[None, :], (h_out, w_out))
+        return _bilinear_sample(image, sy, sx)
+
+    return jax.vmap(one)(boxes.astype(jnp.float32))

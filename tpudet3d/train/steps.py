@@ -57,13 +57,16 @@ def make_train_step(model, loss_manager, optimizer):
     return train_step
 
 
-def make_eval_step(model, num_classes=9, compute_iou=True):
+def make_eval_step(model, num_classes=9):
     """Per-batch evaluation: per-class metric sums + counts, on device
-    (replaces reference evaluate.py:88-114 + metrics.py:39-89)."""
+    (replaces reference evaluate.py:88-114 + metrics.py:39-89).
+    ``compute_iou`` is a static arg: two compiled variants, matching the
+    reference's skip of the expensive 3D IoU on non-final epochs
+    (SURVEY.md §8.16)."""
     from ..eval.metrics import _metrics_segments
 
-    @jax.jit
-    def eval_step(params, batch_stats, imgs, gt_kp, gt_cats):
+    @partial(jax.jit, static_argnames=('compute_iou',))
+    def eval_step(params, batch_stats, imgs, gt_kp, gt_cats, compute_iou=True):
         kp, logits = model.apply({'params': params, 'batch_stats': batch_stats},
                                  imgs, gt_cats, train=False)
         return _metrics_segments(kp, gt_kp, logits, gt_cats,

@@ -32,6 +32,7 @@ class Trainer:
     max_epoch: int
     log_path: str
     augment_fn: Optional[Callable] = None  # jitted (imgs, kps, key) -> (imgs, kps)
+    put_fn: Callable = jnp.asarray   # host batch -> (sharded) device array
     save_chkpt: bool = True
     debug: bool = False
     debug_steps: int = 30
@@ -72,9 +73,9 @@ class Trainer:
 
         for it, (imgs, kps, cats, _true_n) in enumerate(self.train_loader):
             self.rng, aug_key, drop_key = jax.random.split(self.rng, 3)
-            imgs_d = jnp.asarray(imgs)
-            kps_d = jnp.asarray(kps)
-            cats_d = jnp.asarray(cats)
+            imgs_d = self.put_fn(imgs)
+            kps_d = self.put_fn(kps)
+            cats_d = self.put_fn(cats)
             if self.augment_fn is not None:
                 imgs_d, kps_d = self.augment_fn(imgs_d, kps_d, aug_key)
             self.state, metrics = self.train_step(self.state, imgs_d, kps_d,
