@@ -1,0 +1,125 @@
+"""Official Objectron-protocol evaluation over TFRecord shards.
+
+Capability parity with the reference (scripts/objectron_eval.py): walks
+per-class TFRecord shards, runs the two-stage pipeline on each image,
+re-scales predicted boxes with the ground plane, and accumulates the full
+AP report (3D IoU / 2D pixel / azimuth / polar / ADD / ADDS).
+
+Differences by design: the two stages run as one fused XLA program
+(tpudet3d.infer.TwoStageEngine), EPnP lifting is batched on device, and the
+TFRecord + tf.train.Example parsing is a pure-python reader
+(tpudet3d.eval.protocol) — no TensorFlow dependency.
+
+Expected feature keys (Objectron eval shards): image/encoded (JPEG),
+point_2d, point_3d (flat float lists), instance_num, object/visibility,
+plane/center, plane/normal.
+"""
+
+import argparse
+import glob
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+import numpy as np
+
+from tpudet3d.core import OBJECTRON_CLASSES, Logger, mkdir_if_missing
+from tpudet3d.eval.protocol import (ObjectronProtocolEvaluator, read_tfrecord,
+                                    parse_example)
+from tpudet3d.ops.geometry import lift_2d_batched
+
+
+def decode_example(payload):
+    import cv2 as cv
+    feats = parse_example(payload)
+    img_bytes = feats.get('image/encoded', {}).get('bytes', [None])[0]
+    image = None
+    if img_bytes is not None:
+        image = cv.imdecode(np.frombuffer(img_bytes, np.uint8),
+                            cv.IMREAD_COLOR)
+    n = int(feats.get('instance_num', {}).get('ints', [0])[0])
+    p2 = np.asarray(feats.get('point_2d', {}).get('floats', []),
+                    np.float32).reshape(n, 9, 3)[..., :2] if n else \
+        np.zeros((0, 9, 2), np.float32)
+    p3 = np.asarray(feats.get('point_3d', {}).get('floats', []),
+                    np.float32).reshape(n, 9, 3) if n else \
+        np.zeros((0, 9, 3), np.float32)
+    vis = np.asarray(feats.get('object/visibility', {}).get('floats', []),
+                     np.float32)
+    plane_c = np.asarray(feats.get('plane/center', {}).get('floats',
+                                                           [0, 0, 0]),
+                         np.float32)
+    plane_n = np.asarray(feats.get('plane/normal', {}).get('floats',
+                                                           [0, 1, 0]),
+                         np.float32)
+    return image, p2, p3, vis, (plane_c, plane_n)
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Objectron-protocol eval')
+    parser.add_argument('--eval_data', type=str, required=True,
+                        help='glob root with per-class TFRecord shards, e.g. '
+                             '/data/records/{class}/*')
+    parser.add_argument('--reg_config', type=str, default='')
+    parser.add_argument('--det_checkpoint', type=str, default='')
+    parser.add_argument('--reg_checkpoint', type=str, default='')
+    parser.add_argument('--classes', type=str, nargs='+', default=['all'])
+    parser.add_argument('--max_num', type=int, default=-1,
+                        help='max examples per class')
+    parser.add_argument('--report_dir', type=str, default='./eval_reports')
+    parser.add_argument('--det_tresh', type=float, default=0.6)
+    parser.add_argument('--vis_thresh', type=float, default=0.1)
+    args = parser.parse_args()
+
+    from demo import build_engine   # same engine assembly as the demo CLI
+    engine = build_engine(args.reg_config, args.det_checkpoint,
+                          args.reg_checkpoint, det_conf=args.det_tresh)
+
+    classes = (OBJECTRON_CLASSES if args.classes == ['all'] else args.classes)
+    mkdir_if_missing(args.report_dir)
+
+    for category in classes:
+        shards = sorted(glob.glob(osp.join(args.eval_data, category, '*')))
+        if not shards:
+            print(f'[{category}] no shards under {args.eval_data}, skipping')
+            continue
+        evaluator = ObjectronProtocolEvaluator()
+        n_done = 0
+        for shard in shards:
+            for payload in read_tfrecord(shard):
+                if 0 <= args.max_num <= n_done:
+                    break
+                image, gt2d, gt3d, vis, plane = decode_example(payload)
+                if image is None or len(gt2d) == 0:
+                    continue
+                keep = vis > args.vis_thresh if len(vis) else \
+                    np.ones(len(gt2d), bool)
+                gt2d, gt3d = gt2d[keep], gt3d[keep]
+                result = engine(image)
+                h, w = image.shape[:2]
+                pred2d = []
+                for box, kp in zip(result['boxes'], result['kp']):
+                    x0, y0, x1, y1 = box
+                    abs_kp = kp * np.asarray([x1 - x0, y1 - y0]) + \
+                        np.asarray([x0, y0])
+                    pred2d.append(abs_kp / np.asarray([w, h], np.float32))
+                if pred2d:
+                    pred3d = np.asarray(lift_2d_batched(
+                        np.asarray(pred2d, np.float32), portrait=True))
+                else:
+                    pred3d = np.zeros((0, 9, 3), np.float32)
+                evaluator.evaluate_example(
+                    [p for p in pred2d], [p for p in pred3d],
+                    [g for g in gt2d], [g for g in gt3d], plane=plane)
+                n_done += 1
+        evaluator.finalize()
+        report_path = osp.join(args.report_dir, f'report_{category}.txt')
+        with open(report_path, 'w') as f:
+            evaluator.write_report(category, f)
+        evaluator.write_report(category)
+        print(f'[{category}] evaluated {n_done} examples → {report_path}')
+
+
+if __name__ == '__main__':
+    main()

@@ -27,7 +27,6 @@ from pathlib import Path
 import numpy as np
 
 from ..core import OBJECTRON_CLASSES
-from ..ops.geometry import get_default_camera_matrix
 
 try:
     import cv2 as cv
@@ -148,10 +147,10 @@ class SyntheticObjectron:
         corners = np.array([[sx_, sy_, sz_] for sx_ in (-1, 1)
                             for sy_ in (-1, 1) for sz_ in (-1, 1)], np.float64)
         pts = np.concatenate([[np.zeros(3)], corners * scale / 2]) @ rot.T + t
-        cam = get_default_camera_matrix()
-        proj = (cam @ pts.T).T
-        proj = proj / (-proj[:, 2:3])
-        return proj[:, :2]  # normalized [0,1]-ish screen coords
+        # normalized screen coords in [0,1]: s = p_xy/(-z) + 0.5 (pinhole with
+        # principal point 0.5, Objectron z<0 convention)
+        proj = pts[:, :2] / (-pts[:, 2:3]) + 0.5
+        return proj
 
     def __getitem__(self, idx):
         rng = np.random.RandomState(self.seed * 100003 + idx)
