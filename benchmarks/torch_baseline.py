@@ -62,6 +62,74 @@ class Block(nn.Module):
         return x + y if self.skip else y
 
 
+def conv_bn_relu6(cin, cout, k, s, groups=1):
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, k, s, (k - 1) // 2, groups=groups, bias=False),
+        nn.BatchNorm2d(cout), nn.ReLU6())
+
+
+class _MBConvT(nn.Module):
+    def __init__(self, cin, cout, expand, stride):
+        super().__init__()
+        hidden = cin * expand
+        mods = []
+        if expand != 1:
+            mods.append(conv_bn_relu6(cin, hidden, 1, 1))
+        mods.append(conv_bn_relu6(hidden, hidden, 3, stride, groups=hidden))
+        mods.append(conv_bn(hidden, cout, 1, 1, act=False))
+        self.body = nn.Sequential(*mods)
+        self.skip = stride == 1 and cin == cout
+
+    def forward(self, x):
+        y = self.body(x)
+        return x + y if self.skip else y
+
+
+class TorchSSDBaseline(nn.Module):
+    """MNv2-SSD-300 2-heads (reference detector family) for the CPU
+    baseline: stride-16 (96ch) and stride-32 (320ch) features + depthwise
+    prediction heads, 4/6 clustered anchors."""
+
+    _CFG = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def __init__(self, num_classes=9):
+        super().__init__()
+        cin = 32
+        stages = [conv_bn_relu6(3, cin, 3, 2)]
+        self.out_at = []
+        blocks = []
+        for si, (t, c, n, s) in enumerate(self._CFG):
+            for i in range(n):
+                blocks.append(_MBConvT(cin, c, t, s if i == 0 else 1))
+                cin = c
+            if si in (4, 6):
+                self.out_at.append(len(blocks))
+        self.stem = nn.Sequential(*stages)
+        self.blocks = nn.ModuleList(blocks)
+        heads = []
+        for ch, k in ((96, 4), (320, 6)):
+            heads.append(nn.ModuleDict({
+                'cls': nn.Sequential(conv_bn_relu6(ch, ch, 3, 1, groups=ch),
+                                     nn.Conv2d(ch, k * (num_classes + 1), 1)),
+                'reg': nn.Sequential(conv_bn_relu6(ch, ch, 3, 1, groups=ch),
+                                     nn.Conv2d(ch, k * 4, 1))}))
+        self.heads = nn.ModuleList(heads)
+
+    @torch.no_grad()
+    def forward(self, x):
+        x = self.stem(x)
+        feats = []
+        for i, block in enumerate(self.blocks):
+            x = block(x)
+            if i + 1 in self.out_at:
+                feats.append(x)
+        outs = []
+        for feat, head in zip(feats, self.heads):
+            outs.append((head['cls'](feat), head['reg'](feat)))
+        return outs
+
+
 class TorchRegressorBaseline(nn.Module):
     """MobileNetV3-large trunk + 9 linear heads + cls head (CPU baseline)."""
 

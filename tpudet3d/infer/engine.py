@@ -70,7 +70,8 @@ class TwoStageEngine:
             dets = decode_detections(logits[0], deltas[0], self.anchors,
                                      score_thr=cfg.score_thr,
                                      iou_thr=cfg.nms_iou,
-                                     max_per_img=cfg.max_detections)
+                                     max_per_img=cfg.max_detections,
+                                     pre_nms_k=max(4 * cfg.max_detections, 32))
             boxes300 = dets[:, :4]
             scores = dets[:, 4]
             det_labels = dets[:, 5].astype(jnp.int32)
@@ -97,7 +98,15 @@ class TwoStageEngine:
             n = reg_labels.shape[0]
             kp = all_kp[reg_labels, jnp.arange(n)]                # [N,9,2]
             conf_mask = scores > cfg.det_conf
-            return boxes, scores, det_labels, kp, reg_labels, conf_mask
+            # pack everything into ONE [N, 26] array: a single small D2H
+            # transfer (the tunnel RTT dominates per-array fetches)
+            packed = jnp.concatenate([
+                boxes, scores[:, None],
+                det_labels.astype(jnp.float32)[:, None],
+                kp.reshape(n, 18),
+                reg_labels.astype(jnp.float32)[:, None],
+                conf_mask.astype(jnp.float32)[:, None]], axis=-1)
+            return packed
 
         self._pipeline = pipeline
 
@@ -117,16 +126,16 @@ class TwoStageEngine:
 
     def wait_and_grab(self):
         assert self._pending is not None, 'no async inference in flight'
-        boxes, scores, det_labels, kp, reg_labels, mask = jax.device_get(
-            self._pending)
+        packed = np.asarray(jax.device_get(self._pending))
         self._pending = None
-        keep = np.nonzero(mask)[0]
+        keep = np.nonzero(packed[:, 25] > 0)[0]
+        rows = packed[keep]
         return {
-            'boxes': boxes[keep],
-            'scores': scores[keep],
-            'det_labels': det_labels[keep],
-            'kp': kp[keep],
-            'labels': reg_labels[keep],
+            'boxes': rows[:, 0:4],
+            'scores': rows[:, 4],
+            'det_labels': rows[:, 5].astype(np.int32),
+            'kp': rows[:, 6:24].reshape(-1, 9, 2),
+            'labels': rows[:, 24].astype(np.int32),
         }
 
     def warmup(self, frame_shape=(720, 1280, 3)):
