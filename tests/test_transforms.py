@@ -1,0 +1,109 @@
+"""Device-augmentation parity tests vs cv2 / albumentations semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet3d.core import AttrDict
+from tpudet3d.data.transforms import (build_augmentations, _rotation_matrix,
+                                      _scale_by_angle, _affine_warp,
+                                      _apply_affine_kp)
+
+cv = pytest.importorskip('cv2')
+
+NORM = dict(mean=[0.5931, 0.4690, 0.4229], std=[0.2471, 0.2214, 0.2157])
+
+
+def pipeline_cfg(train_steps):
+    return AttrDict(train_data_pipeline=train_steps,
+                    test_data_pipeline=[('normalize', NORM),
+                                        ('to_tensor', dict())])
+
+
+class TestAffine:
+
+    def test_rotation_matrix_matches_cv2(self):
+        m_ours = np.asarray(_rotation_matrix(32.0, 24.0, 17.0, 0.9))[:2]
+        m_cv = cv.getRotationMatrix2D((32.0, 24.0), 17.0, 0.9)
+        assert np.allclose(m_ours, m_cv, atol=1e-5)
+
+    def test_scale_by_angle_keeps_frame_inside(self):
+        for angle in (5.0, 10.0, 45.0):
+            s = float(_scale_by_angle(jnp.float32(angle), 64.0, 64.0))
+            assert 0 < s <= 1.0
+
+    def test_warp_matches_cv2(self):
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (48, 64, 3)).astype(np.float32)
+        m = cv.getRotationMatrix2D((32.0, 24.0), 12.0, 0.95)
+        ref = cv.warpAffine(img, m, (64, 48), flags=cv.INTER_LINEAR)
+        m3 = np.vstack([m, [0, 0, 1]])
+        ours = np.asarray(_affine_warp(jnp.asarray(img),
+                                       jnp.asarray(np.linalg.inv(m3))))
+        # interior parity (borders differ: cv2 constant vs clamped sampling)
+        assert np.abs(ours[4:-4, 4:-4] - ref[4:-4, 4:-4]).max() < 2.0
+
+    def test_kp_affine(self):
+        m = _rotation_matrix(10.0, 10.0, 90.0, 1.0)
+        kp = jnp.asarray([[10.0, 0.0]])
+        out = np.asarray(_apply_affine_kp(kp, m))
+        # 90° CCW about (10,10): (10,0) → (0,10)  (y-down image coords)
+        assert np.allclose(out, [[0.0, 10.0]], atol=1e-4)
+
+
+class TestPipelines:
+
+    def test_flip_tracks_keypoints(self):
+        cfg = pipeline_cfg([('horizontal_flip', dict(p=1.0)),
+                            ('normalize', NORM), ('to_tensor', dict())])
+        train_fn, _ = build_augmentations(cfg)
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+        kp = np.asarray([[[4.0, 7.0]] * 9], np.float32)
+        out_img, out_kp = jax.jit(train_fn)(jnp.asarray(img), jnp.asarray(kp),
+                                            jax.random.PRNGKey(0))
+        assert np.allclose(np.asarray(out_kp)[0, 0],
+                           [(31 - 4) / 32, 7 / 32], atol=1e-5)
+        # flipped pixel content
+        ref = (img[0, :, ::-1, :].astype(np.float32) -
+               np.asarray(NORM['mean']) * 255) / (np.asarray(NORM['std']) * 255)
+        assert np.abs(np.asarray(out_img)[0] - ref).max() < 1e-4
+
+    def test_rotate_keeps_kp_on_feature(self):
+        """Draw a dot, rotate, verify the keypoint still lands on the dot."""
+        cfg = pipeline_cfg([('random_rotate', dict(angle_limit=25., p=1.0)),
+                            ('to_tensor', dict())])
+        train_fn, _ = build_augmentations(cfg)
+        img = np.zeros((1, 64, 64, 3), np.uint8)
+        img[0, 40:44, 18:22] = 255
+        kp = np.asarray([[[20.0, 42.0]] * 9], np.float32)
+        out_img, out_kp = jax.jit(train_fn)(jnp.asarray(img), jnp.asarray(kp),
+                                            jax.random.PRNGKey(3))
+        out_img = np.asarray(out_img)[0]
+        x, y = (np.asarray(out_kp)[0, 0] * 64).astype(int)
+        window = out_img[max(y - 3, 0):y + 4, max(x - 3, 0):x + 4]
+        assert window.max() > 100, 'keypoint lost the rotated feature'
+
+    def test_test_pipeline_deterministic(self):
+        cfg = pipeline_cfg([])
+        _, test_fn = build_augmentations(cfg)
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+        kp = rng.rand(2, 9, 2).astype(np.float32) * 16
+        a = test_fn(jnp.asarray(img), jnp.asarray(kp), jax.random.PRNGKey(0))
+        b = test_fn(jnp.asarray(img), jnp.asarray(kp), jax.random.PRNGKey(9))
+        assert np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+        assert np.allclose(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_one_of_selects_single_branch(self):
+        cfg = pipeline_cfg([('one_of', dict(transforms=[
+            ('random_brightness_contrast', dict(p=1.0)),
+            ('rgb_shift', dict(p=1.0))], p=1.0)),
+            ('to_tensor', dict())])
+        train_fn, _ = build_augmentations(cfg)
+        img = np.full((1, 16, 16, 3), 100, np.uint8)
+        kp = np.zeros((1, 9, 2), np.float32)
+        out_img, _ = jax.jit(train_fn)(jnp.asarray(img), jnp.asarray(kp),
+                                       jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(out_img)).all()
