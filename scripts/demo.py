@@ -23,6 +23,9 @@ import numpy as np
 import jax
 
 from tpudet3d.core import read_py_config, OBJECTRON_CLASSES, AttrDict
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.infer import TwoStageEngine, EngineConfig, IOUTracker, IOUTrackerConfig
 from tpudet3d.models import build_model
 from tpudet3d.detect import SSDDetector

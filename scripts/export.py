@@ -15,6 +15,9 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 import jax
 
 from tpudet3d.core import read_py_config
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.infer import export_regressor
 from tpudet3d.models import build_model
 from tpudet3d.train.pipeline import setup_training

@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from tpudet3d.core import read_py_config
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.models import build_model
 from tpudet3d.train import param_count
 

@@ -21,6 +21,9 @@ import jax.numpy as jnp
 
 from tpudet3d.core import (read_py_config, merge_cli_overrides, Logger,
                            set_random_seed, check_isfile, mkdir_if_missing)
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.eval.evaluator import Evaluator
 from tpudet3d.parallel import replicate
 from tpudet3d.train import Trainer, param_count

@@ -25,6 +25,9 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 import numpy as np
 
 from tpudet3d.core import OBJECTRON_CLASSES, Logger, mkdir_if_missing
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.eval.protocol import (ObjectronProtocolEvaluator, read_tfrecord,
                                     parse_example)
 from tpudet3d.ops.geometry import lift_2d_batched

@@ -18,6 +18,9 @@ import jax
 import numpy as np
 
 from tpudet3d.core import read_py_config, Logger, set_random_seed, AverageMeter
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.train.pipeline import setup_training
 from tpudet3d.train.optim import set_learning_rate
 from tpudet3d.utils.hpo import create_study, TrialPruned

@@ -19,6 +19,9 @@ import optax
 
 from tpudet3d.core import (read_py_config, Logger, set_random_seed,
                            mkdir_if_missing)
+
+from tpudet3d.core import enable_compile_cache
+enable_compile_cache()
 from tpudet3d.data.detection_dataset import DetectionDataset, SyntheticDetection
 from tpudet3d.data.det_transforms import build_detector_augmentations
 from tpudet3d.data.loader import BatchLoader

@@ -13,13 +13,16 @@ flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
-# persistent compile cache: XLA CPU compiles are slow on this 1-core host
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
 
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compile cache: XLA CPU compiles are slow on this 1-core host.
+# (env vars are too late — sitecustomize imports jax before pytest starts)
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                               '..', '.jax_cache')))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import pytest  # noqa: E402
 

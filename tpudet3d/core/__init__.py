@@ -1,3 +1,4 @@
+from .cache import enable_compile_cache
 from .config import AttrDict, read_py_config, check_isfile, merge_cli_overrides
 from .logging import Logger, mkdir_if_missing
 from .meters import AverageMeter, TextTable
@@ -14,6 +15,7 @@ DETECTOR_CLASSES = ('bike', 'book', 'bottle', 'camera', 'cereal_box',
 DETECTOR_TO_REGRESSOR_CLS = tuple(OBJECTRON_CLASSES.index(c) for c in DETECTOR_CLASSES)
 
 __all__ = [
+    'enable_compile_cache',
     'AttrDict', 'read_py_config', 'check_isfile', 'merge_cli_overrides',
     'Logger', 'mkdir_if_missing', 'AverageMeter', 'TextTable',
     'set_random_seed', 'KeySeq',
