@@ -83,6 +83,10 @@ class Objectron:
         image = cv.imread(img_path)
         assert image is not None, f'missing image {img_path}'
         kps = np.asarray(ann['keypoints'], np.float32).reshape(9, 2)
+        if self.debug_mode:
+            from ..utils.drawing import draw_kp
+            draw_kp(image, kps, f'image_before_pipeline_{idx}.jpg',
+                    normalized=False, RGB=False)
         crop_kps, crop_img, crop_cords = self.crop(image, kps)
         # host resize to the static target; kps follow
         th, tw = self.resize

@@ -54,12 +54,15 @@ class Evaluator:
             if self.test_transform is not None:
                 self.rng, key = jax.random.split(self.rng)
                 imgs_d, kps_d = self.test_transform(imgs_d, kps_d, key)
+            # mask padded tail samples of the (static-shape) final batch
+            weights = jnp.asarray(
+                (np.arange(imgs.shape[0]) < true_n).astype(np.float32))
             (add_s, sadd_s, iou_s, acc_s, counts), _ = self.eval_step(
                 state.params, state.batch_stats, imgs_d, kps_d, cats_d,
-                compute_iou=bool(compute_iou))
+                weights, compute_iou=bool(compute_iou))
             add_s, sadd_s, iou_s, acc_s, counts = map(
                 np.asarray, (add_s, sadd_s, iou_s, acc_s, counts))
-            bs = imgs.shape[0]
+            bs = int(true_n)
             # batch means (reference meters weight by batch size)
             meters['ADD'].update(add_s.sum() / bs, bs)
             meters['SADD'].update(sadd_s.sum() / bs, bs)
@@ -123,8 +126,8 @@ class Evaluator:
             _, (pred_kp, logits) = self.eval_step(
                 state.params, state.batch_stats, imgs_d, kps_d,
                 jnp.asarray([cat], jnp.int32), compute_iou=False)
-            pred_kp = np.asarray(pred_kp[0])
-            gt_kp = np.asarray(kps_d[0])
+            pred_kp = np.array(pred_kp[0])      # writable copies
+            gt_kp = np.array(kps_d[0])
             draw_kp(orig_img, self.transform_kp(gt_kp.copy(), crop_cords),
                     f'{self.path_to_save_imgs}/tested_image_{idx}_true.jpg',
                     RGB=False, normalized=False)

@@ -79,8 +79,12 @@ def compute_2d_based_iou(pred_kp, gt_kp, reduce_mean=True):
 
 
 @partial(jax.jit, static_argnames=('num_classes', 'compute_iou'))
-def _metrics_segments(pred_kp, gt_kp, pred_cats, gt_cats, num_classes, compute_iou):
-    """One fused kernel: per-class sums + counts for ADD/SADD/IoU/acc."""
+def _metrics_segments(pred_kp, gt_kp, pred_cats, gt_cats, num_classes,
+                      compute_iou, weights=None):
+    """One fused kernel: per-class sums + counts for ADD/SADD/IoU/acc.
+
+    ``weights`` [B] (optional) zeroes out padded samples from partial
+    batches so static batch shapes don't bias the epoch averages."""
     add_sum, sadd_sum = add_sadd_per_sample(pred_kp, gt_kp)
     add_sum = add_sum / NUM_KEYPOINTS
     sadd_sum = sadd_sum / NUM_KEYPOINTS
@@ -91,7 +95,10 @@ def _metrics_segments(pred_kp, gt_kp, pred_cats, gt_cats, num_classes, compute_i
         iou = iou_oriented_boxes(pred_3d, gt_3d)
     else:
         iou = jnp.zeros_like(add_sum)
-    seg = lambda x: jax.ops.segment_sum(x, gt_cats, num_segments=num_classes)
+    if weights is None:
+        weights = jnp.ones_like(add_sum)
+    seg = lambda x: jax.ops.segment_sum(x * weights, gt_cats,
+                                        num_segments=num_classes)
     counts = seg(jnp.ones_like(add_sum))
     return seg(add_sum), seg(sadd_sum), seg(iou), seg(correct), counts
 

@@ -66,10 +66,11 @@ def make_eval_step(model, num_classes=9):
     from ..eval.metrics import _metrics_segments
 
     @partial(jax.jit, static_argnames=('compute_iou',))
-    def eval_step(params, batch_stats, imgs, gt_kp, gt_cats, compute_iou=True):
+    def eval_step(params, batch_stats, imgs, gt_kp, gt_cats, weights=None,
+                  compute_iou=True):
         kp, logits = model.apply({'params': params, 'batch_stats': batch_stats},
                                  imgs, gt_cats, train=False)
         return _metrics_segments(kp, gt_kp, logits, gt_cats,
-                                 num_classes, compute_iou), (kp, logits)
+                                 num_classes, compute_iou, weights), (kp, logits)
 
     return eval_step

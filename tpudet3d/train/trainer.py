@@ -53,6 +53,12 @@ class Trainer:
         num_iters = len(self.train_loader)
         start = time.time()
         pending = None  # (metrics_device, batch_size) — read one step late
+        try:
+            from tqdm import tqdm
+            loop = tqdm(total=num_iters, leave=False,
+                        desc=f'Epoch [{epoch}/{self.max_epoch}]')
+        except ImportError:
+            loop = None
 
         def drain(pending_item):
             metrics, bs = pending_item
@@ -99,10 +105,16 @@ class Trainer:
                       f'SADD {sadd_m.val:.4f} ({sadd_m.avg:.4f})\t'
                       f'loss {losses.avg:.5f}\t'
                       f'lr {lr:.6f}', flush=True)
+            if loop is not None:
+                loop.update(1)
+                loop.set_postfix(loss=losses.avg, ADD=add_m.avg,
+                                 SADD=sadd_m.avg, acc=acc_m.avg, lr=lr)
             start = time.time()
             if self.debug and it == self.debug_steps:
                 break
 
+        if loop is not None:
+            loop.close()
         if pending is not None:
             drain(pending)
         if self.save_chkpt and (epoch % self.save_freq == 0 or is_last_epoch) \

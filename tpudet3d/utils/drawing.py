@@ -13,7 +13,7 @@ try:
 except ImportError:  # pragma: no cover - cv2 is present in this image
     _HAS_CV2 = False
 
-__all__ = ['EDGES', 'draw_kp', 'normalize_kp', 'unnormalize_kp',
+__all__ = ['EDGES', 'draw_kp', 'draw_boxes', 'normalize_kp', 'unnormalize_kp',
            'unnormalize_img']
 
 # vertex-index pairs (1-based, into the 9-kp array) forming the box wireframe
@@ -42,6 +42,33 @@ def unnormalize_img(img, mean=(0.5931, 0.4690, 0.4229),
     if img.ndim == 3 and img.shape[0] == 3:  # CHW → HWC
         img = img.transpose(1, 2, 0)
     return img * (np.asarray(std) * 255) + np.asarray(mean) * 255
+
+
+def draw_boxes(boxes=(), clips=(), colors=('r', 'b', 'g', 'k'),
+               save_path='3d_boxes.png'):
+    """Matplotlib 3D debug plot of vertex-list boxes
+    (reference torchdet3d/utils/geometry.py:111-138)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(10, 10))
+    ax = fig.add_subplot(111, projection='3d')
+    for i, b in enumerate(boxes):
+        b = np.asarray(b)
+        v = b[1:] if b.shape[0] == 9 else b   # accept 9-kp or 8-corner input
+        ax.scatter(v[:, 0], v[:, 1], v[:, 2], c='r')
+        for e0, e1 in EDGES:
+            seg = np.stack([np.asarray(b)[e0], np.asarray(b)[e1]])
+            ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], linewidth=2,
+                    c=colors[i % len(colors)])
+    if len(clips):
+        pts = np.asarray(clips)
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=100, c='k')
+    ax.view_init(30, 12)
+    plt.savefig(save_path)
+    plt.close(fig)
+    return save_path
 
 
 def draw_kp(img, keypoints, name=None, normalized=True, RGB=True,
