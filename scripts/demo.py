@@ -22,7 +22,7 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 import numpy as np
 import jax
 
-from tpudet3d.core import read_py_config, OBJECTRON_CLASSES, AttrDict
+from tpudet3d.core import read_py_config, AttrDict
 
 from tpudet3d.core import enable_compile_cache
 enable_compile_cache()

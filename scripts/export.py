@@ -19,7 +19,6 @@ from tpudet3d.core import read_py_config
 from tpudet3d.core import enable_compile_cache
 enable_compile_cache()
 from tpudet3d.infer import export_regressor
-from tpudet3d.models import build_model
 from tpudet3d.train.pipeline import setup_training
 from tpudet3d.utils import latest_snapshot, resume_from
 

@@ -11,13 +11,11 @@ import argparse
 import os.path as osp
 import sys
 import time
-from functools import partial
 from shutil import copyfile
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 import jax
-import jax.numpy as jnp
 
 from tpudet3d.core import (read_py_config, merge_cli_overrides, Logger,
                            set_random_seed, check_isfile, mkdir_if_missing)

@@ -24,7 +24,7 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 import numpy as np
 
-from tpudet3d.core import OBJECTRON_CLASSES, Logger, mkdir_if_missing
+from tpudet3d.core import OBJECTRON_CLASSES, mkdir_if_missing
 
 from tpudet3d.core import enable_compile_cache
 enable_compile_cache()

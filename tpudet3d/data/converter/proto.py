@@ -13,7 +13,6 @@ varint, then  0 = varint, 1 = fixed64, 2 = length-delimited, 5 = fixed32.
 """
 
 import struct
-from types import SimpleNamespace
 
 __all__ = ['parse_sequence', 'decode_message']
 

@@ -16,7 +16,7 @@ consumed by the host loader (static shapes must be fixed before batching);
 """
 
 import math
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ loss terms).  Hard-negative selection is a fixed-K ``top_k`` over masked
 per-anchor CE losses instead of mmdet's per-image dynamic sort.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

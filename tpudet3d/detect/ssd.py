@@ -7,7 +7,7 @@ features at strides 16/32, depthwise prediction heads
 classification with a background class (index == num_classes).
 """
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

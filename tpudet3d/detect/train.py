@@ -22,7 +22,6 @@ from flax import struct
 from ..core import AverageMeter
 from .anchors import generate_anchors
 from .losses import ssd_loss
-from .ssd import SSDDetector
 
 __all__ = ['DetTrainState', 'create_detector_state', 'make_detector_train_step',
            'warmup_step_lr', 'DetectorTrainer']

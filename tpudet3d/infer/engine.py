@@ -16,7 +16,7 @@ returns device futures; ``wait_and_grab`` materializes them.
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ StableHLO text dump.
 
 import os.path as osp
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

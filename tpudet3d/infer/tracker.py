@@ -13,7 +13,7 @@ Sequential per-frame state machines belong on the host; the per-frame math
 """
 
 from collections import namedtuple
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

@@ -14,8 +14,6 @@ of a frame into ONE forward (the reference loops one-by-one, :128-136).
 """
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .regression import LOSS_REGISTRY
-
 __all__ = ['AlwaState', 'LossManager']
 
 

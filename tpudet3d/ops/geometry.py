@@ -14,7 +14,6 @@ EPnP control points (center + 3 half-axis endpoints).
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 __all__ = [
