@@ -71,10 +71,11 @@ class TestPipelines:
         assert np.abs(np.asarray(out_img)[0] - ref).max() < 1e-4
 
     def test_rotate_keeps_kp_on_feature(self):
-        """Draw a dot, rotate, verify the keypoint still lands on the dot."""
+        """Draw a dot, rotate, verify the keypoint still lands on the dot
+        (device rotate variant; production uses the host cv2 path)."""
         cfg = pipeline_cfg([('random_rotate', dict(angle_limit=25., p=1.0)),
                             ('to_tensor', dict())])
-        train_fn, _ = build_augmentations(cfg)
+        train_fn, _ = build_augmentations(cfg, host_geometric=False)
         img = np.zeros((1, 64, 64, 3), np.uint8)
         img[0, 40:44, 18:22] = 255
         kp = np.asarray([[[20.0, 42.0]] * 9], np.float32)
@@ -95,6 +96,40 @@ class TestPipelines:
         b = test_fn(jnp.asarray(img), jnp.asarray(kp), jax.random.PRNGKey(9))
         assert np.allclose(np.asarray(a[0]), np.asarray(b[0]))
         assert np.allclose(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_host_rotate_keeps_kp_on_feature(self):
+        """Host cv2 rotate (production path for geometric warps)."""
+        from tpudet3d.data.host_transforms import build_host_pipeline
+        fn = build_host_pipeline([('random_rotate',
+                                   dict(angle_limit=25., p=1.0))], seed=3)
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[40:44, 18:22] = 255
+        kps = np.asarray([[20.0, 42.0]] * 9, np.float32)
+        out_img, out_kps = fn(0, 0, img, kps)
+        x, y = out_kps[0].astype(int)
+        window = out_img[max(y - 3, 0):y + 4, max(x - 3, 0):x + 4]
+        assert window.max() > 100
+
+    def test_host_pipeline_deterministic(self):
+        from tpudet3d.data.host_transforms import build_host_pipeline
+        fn = build_host_pipeline([('random_rotate',
+                                   dict(angle_limit=15., p=0.7))], seed=1)
+        img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+        kps = np.random.RandomState(1).rand(9, 2).astype(np.float32) * 32
+        a = fn(2, 5, img.copy(), kps.copy())
+        b = fn(2, 5, img.copy(), kps.copy())
+        assert np.array_equal(a[0], b[0]) and np.allclose(a[1], b[1])
+
+    def test_device_pipeline_skips_host_geometric(self):
+        cfg = pipeline_cfg([('random_rotate', dict(angle_limit=25., p=1.0)),
+                            ('to_tensor', dict())])
+        train_fn, _ = build_augmentations(cfg)   # host_geometric default
+        img = np.random.RandomState(0).randint(0, 255, (1, 16, 16, 3), np.uint8)
+        kp = np.zeros((1, 9, 2), np.float32) + 4
+        out_img, out_kp = train_fn(jnp.asarray(img), jnp.asarray(kp),
+                                   jax.random.PRNGKey(0))
+        # rotate excluded → image content unchanged (only to_tensor ran)
+        assert np.allclose(np.asarray(out_img)[0], img[0].astype(np.float32))
 
     def test_one_of_selects_single_branch(self):
         cfg = pipeline_cfg([('one_of', dict(transforms=[

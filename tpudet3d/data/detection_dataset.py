@@ -99,10 +99,16 @@ class SyntheticDetection:
     def __len__(self):
         return self.length
 
+    # deterministic per-class colors so the class IS inferable from pixels
+    _PALETTE = np.asarray(
+        [[230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+         [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+         [128, 128, 0]], np.uint8)
+
     def __getitem__(self, idx):
         rng = np.random.RandomState(self.seed * 9176 + idx)
         s = self.input_size
-        img = rng.randint(0, 255, (s, s, 3)).astype(np.uint8)
+        img = rng.randint(0, 64, (s, s, 3)).astype(np.uint8)   # dim noise bg
         n = rng.randint(1, 4)
         boxes, labels = [], []
         for _ in range(n):
@@ -114,7 +120,7 @@ class SyntheticDetection:
             boxes.append([x0, y0, x0 + w, y0 + h])
             labels.append(label)
             if _HAS_CV2:
-                color = tuple(int(c) for c in rng.randint(0, 255, 3))
+                color = tuple(int(c) for c in self._PALETTE[label])
                 cv.rectangle(img, (int(x0), int(y0)),
                              (int(x0 + w), int(y0 + h)), color, -1)
         return (img,) + _pad_boxes(np.asarray(boxes, np.float32),

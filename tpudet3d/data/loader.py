@@ -26,7 +26,8 @@ class BatchLoader:
     """Iterable over (imgs_u8 [B,H,W,3], kps_px [B,9,2], cats [B]) batches."""
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_threads=4, prefetch=2, seed=0, pad_partial=True):
+                 num_threads=4, prefetch=2, seed=0, pad_partial=True,
+                 host_transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -34,6 +35,7 @@ class BatchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.pad_partial = pad_partial
+        self.host_transform = host_transform  # fn(epoch, idx, img, kps)
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -65,6 +67,11 @@ class BatchLoader:
 
     def _assemble(self, indices):
         items = [self.dataset[int(i)] for i in indices]
+        if self.host_transform is not None:
+            items = [
+                (*self.host_transform(self._epoch, int(i), it[0], it[1]),
+                 *it[2:])
+                for i, it in zip(indices, items)]
         imgs = np.stack([it[0] for it in items])
         kps = np.stack([it[1] for it in items])
         cats = np.asarray([it[2] for it in items], np.int32)
@@ -117,12 +124,16 @@ def _make_dataset(config, mode):
 
 
 def build_loader(config, seed=0):
-    """train/val/test loaders (reference builders/loader_builder.py:14-36)."""
+    """train/val/test loaders (reference builders/loader_builder.py:14-36).
+    Geometric train augs run here in the loader threads (host_transforms)."""
+    from .host_transforms import build_host_pipeline
+    host_train = build_host_pipeline(config.train_data_pipeline or [],
+                                     seed=seed)
     train = BatchLoader(_make_dataset(config, 'train'),
                         int(config.data.train_batch_size), shuffle=True,
                         drop_last=True,
                         num_threads=int(config.data.num_workers or 4),
-                        seed=seed)
+                        seed=seed, host_transform=host_train)
     val = BatchLoader(_make_dataset(config, 'val'),
                       int(config.data.val_batch_size), shuffle=True,
                       num_threads=int(config.data.num_workers or 4),

@@ -234,6 +234,9 @@ TRANSFORMS_REGISTRY: Dict[str, Callable] = {
 }
 
 _HOST_ONLY = {'resize'}  # consumed by the host loader (static shapes)
+# geometric warps default to the host loader threads (cv2): they lower to
+# gathers on TPU (~250ms per 128x224² batch, measured) vs ~0.2ms/img on host
+_HOST_GEOMETRIC = {'random_rotate', 'random_rescale'}
 
 
 def build_transform(name, kwargs):
@@ -251,14 +254,19 @@ def apply_pipeline(steps: Sequence, key, img, kp):
     return img, kp
 
 
-def build_augmentations(cfg):
+def build_augmentations(cfg, host_geometric=True):
     """Returns (train_fn, test_fn): batched, jittable
     ``(imgs_u8 [B,H,W,3], kps_px [B,9,2], key) -> (imgs_f32, kps_01)``.
-    Mirrors builders/build_augmentations (loader_builder.py:63-68)."""
+    Mirrors builders/build_augmentations (loader_builder.py:63-68).
+
+    With ``host_geometric`` (default) the geometric warps are excluded here
+    and run in the loader threads instead (data/host_transforms.py)."""
+    skip = _HOST_ONLY | (_HOST_GEOMETRIC if host_geometric else set())
+
     def compile_pipeline(pipeline_cfg):
         steps = [build_transform(name, kwargs)
                  for name, kwargs in pipeline_cfg
-                 if name not in _HOST_ONLY]
+                 if name not in skip]
 
         def batched(imgs, kps, key):
             imgs = imgs.astype(jnp.float32)
