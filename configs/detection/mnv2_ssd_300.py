@@ -26,8 +26,12 @@ optim = dict(name='sgd', lr=0.05, momentum=0.9, wd=5e-4)
 scheduler = dict(policy='step', warmup_iters=1200, warmup_ratio=1.0 / 3,
                  steps=[25, 30, 35], gamma=0.1)
 
+# loss_balancing: clamped learned weighting available, but plain sum
+# converges much faster on short schedules (tpudet3d/detect/losses.py note);
+# the reference's mmdet fork enables its own variant (config :39)
 train_cfg = dict(pos_iou_thr=0.4, neg_iou_thr=0.4, neg_pos_ratio=3,
-                 smoothl1_beta=1.0, loss_balancing=True)
+                 smoothl1_beta=1.0, loss_balancing=False,
+                 uniform_neg_weight=0.1)
 
 test_cfg = dict(nms_iou=0.45, score_thr=0.02, max_per_img=200)
 

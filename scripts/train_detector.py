@@ -100,7 +100,8 @@ def main():
         opt_state.hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
 
     trainer = DetectorTrainer(
-        train_step=make_detector_train_step(model, opt),
+        train_step=make_detector_train_step(
+            model, opt, use_balance=bool(cfg.train_cfg.loss_balancing)),
         state=state, train_loader=loader, lr_fn=lr_fn, opt_set_lr=set_lr,
         max_epoch=int(cfg.data.max_epochs), log_path=cfg.output_dir,
         print_freq=int(cfg.utils.print_freq),

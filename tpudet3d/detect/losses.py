@@ -83,7 +83,12 @@ def ssd_loss(cls_logits, bbox_deltas, anchors, gt_boxes, gt_labels, gt_valid,
     reg_loss = jnp.mean(reg_l)
 
     if balance_params is not None:
-        s_cls, s_reg = balance_params
+        # clamped uncertainty weighting: unbounded s lets the optimizer
+        # crush whichever term has the higher loss (cls, early in training)
+        # and detection never recovers — observed on the synthetic task
+        # (recall 0 with free s, 0.9 with plain sum)
+        s_cls = jnp.clip(balance_params[0], -1.0, 1.0)
+        s_reg = jnp.clip(balance_params[1], -1.0, 1.0)
         total = (jnp.exp(-s_cls) * cls_loss + 0.5 * s_cls +
                  jnp.exp(-s_reg) * reg_loss + 0.5 * s_reg)
     else:

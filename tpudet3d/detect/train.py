@@ -64,7 +64,9 @@ def create_detector_state(model, optimizer, rng, input_size=300, batch=2):
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
 
-def make_detector_train_step(model, optimizer, lr_fn=None):
+def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False):
+    """``use_balance`` enables the (clamped) learned loss weighting; plain
+    sum converges faster on short schedules (see losses.ssd_loss note)."""
     anchors = jnp.asarray(generate_anchors())
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -74,10 +76,12 @@ def make_detector_train_step(model, optimizer, lr_fn=None):
                 {'params': trainable['model'],
                  'batch_stats': state.batch_stats},
                 imgs, train=True, mutable=['batch_stats'])
+            balance = ((trainable['balance']['s_cls'],
+                        trainable['balance']['s_reg'])
+                       if use_balance else None)
             total, parts = ssd_loss(
                 logits, deltas, anchors, gt_boxes, gt_labels, gt_valid,
-                balance_params=(trainable['balance']['s_cls'],
-                                trainable['balance']['s_reg']))
+                balance_params=balance)
             return total, (mutated['batch_stats'], parts)
 
         trainable = {'model': state.params, 'balance': state.balance}
