@@ -1,0 +1,71 @@
+"""Fused two-stage engine integration test (small models, CPU).
+
+Gated behind TPUDET3D_SLOW=1 — the first compile of the fused pipeline on
+the 1-core CI host takes minutes (cached afterwards via .jax_cache).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet3d.core import AttrDict
+from tpudet3d.detect import SSDDetector
+from tpudet3d.infer import TwoStageEngine, EngineConfig
+from tpudet3d.models import build_model
+
+slow = pytest.mark.skipif(os.environ.get('TPUDET3D_SLOW') != '1',
+                          reason='set TPUDET3D_SLOW=1 to run engine tests')
+
+
+def tiny_engine():
+    key = jax.random.PRNGKey(0)
+    detector = SSDDetector(num_classes=9, width_mult=0.25)
+    det_vars = detector.init(key, jnp.zeros((1, 300, 300, 3), jnp.float32))
+    cfg = AttrDict(model=dict(name='mobilenetv3_small', pretrained=False,
+                              num_classes=9, bf16=False))
+    regressor = build_model(cfg)
+    reg_vars = regressor.init({'params': key, 'dropout': key},
+                              jnp.zeros((1, 64, 64, 3), jnp.float32),
+                              jnp.zeros((1,), jnp.int32))
+    return TwoStageEngine(detector, det_vars, regressor, reg_vars,
+                          EngineConfig(det_conf=0.0, max_detections=4,
+                                       crop_size=(64, 64)))
+
+
+@slow
+class TestEngine:
+
+    def test_pipeline_shapes_and_async(self):
+        engine = tiny_engine()
+        frame = np.random.RandomState(0).randint(0, 255, (360, 640, 3)) \
+            .astype(np.uint8)
+        result = engine(frame)
+        assert result['boxes'].shape[1] == 4
+        assert result['kp'].shape[1:] == (9, 2)
+        assert np.all((result['kp'] >= 0) & (result['kp'] <= 1))
+        assert np.all(result['boxes'][:, [0, 2]] <= 640 + 1e-3)
+        assert np.all(result['boxes'][:, [1, 3]] <= 360 + 1e-3)
+        # async double-buffering
+        engine.run_async(frame)
+        engine.run_async(frame)      # overwrite in flight is allowed
+        out = engine.wait_and_grab()
+        assert set(out.keys()) == {'boxes', 'scores', 'det_labels', 'kp',
+                                   'labels'}
+
+    def test_split_wrappers_consistent(self):
+        """Detector/Regressor split API produces the same stage-1 boxes as
+        the fused engine for conf=0."""
+        from tpudet3d.infer import Detector
+        key = jax.random.PRNGKey(0)
+        det_model = SSDDetector(num_classes=9, width_mult=0.25)
+        det_vars = det_model.init(key, jnp.zeros((1, 300, 300, 3)))
+        det = Detector(det_model, det_vars, conf=0.0, max_detections=4)
+        frame = np.random.RandomState(1).randint(0, 255, (360, 640, 3)) \
+            .astype(np.uint8)
+        detections = det.get_detections(frame)
+        assert len(detections) <= 4
+        for d in detections:
+            assert len(d) == 6

@@ -63,6 +63,14 @@ class Trainer:
         def drain(pending_item):
             metrics, bs = pending_item
             m = np.asarray(metrics)
+            if not np.all(np.isfinite(m)):
+                # failure detection (SURVEY.md §5.3): surface divergence with
+                # context instead of training on garbage
+                raise FloatingPointError(
+                    f'non-finite training metrics at step '
+                    f'{self.train_step_counter}: loss={m[0]} ADD={m[1]} '
+                    f'SADD={m[2]} acc={m[3]} (lr={lr}) — checkpoint at '
+                    f'{self.log_path} can be resumed with a lower lr')
             losses.update(float(m[0]), bs)
             add_m.update(float(m[1]), bs)
             sadd_m.update(float(m[2]), bs)
