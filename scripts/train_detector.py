@@ -111,8 +111,46 @@ def main():
         put_fn=partial(shard_batch, mesh=mesh),
         rng=jax.random.PRNGKey(int(cfg.utils.random_seeds) + 1))
 
+    # validation set (synthetic twin or the converted test split)
+    if cfg.data.synthetic:
+        val_ds = SyntheticDetection(length=max(int(cfg.data.synthetic_length) // 4, 8),
+                                    input_size=int(cfg.input_size),
+                                    max_boxes=int(cfg.data.max_boxes), seed=99)
+    else:
+        try:
+            val_ds = DetectionDataset(cfg.data.root, 'test',
+                                      input_size=int(cfg.input_size),
+                                      min_size=int(cfg.data.min_size),
+                                      max_boxes=int(cfg.data.max_boxes))
+        except FileNotFoundError:
+            val_ds = None
+    val_loader = (_DetBatchLoader(val_ds, int(cfg.data.val_batch_size),
+                                  shuffle=False,
+                                  num_threads=int(cfg.data.num_workers))
+                  if val_ds is not None else None)
+    test_aug = jax.jit(build_detector_augmentations(train=False))
+
+    def validate(state, epoch):
+        from tpudet3d.detect import DetectorEvaluator
+        from tpudet3d.core import DETECTOR_CLASSES
+        evaluator = DetectorEvaluator(
+            model, {'params': state.params, 'batch_stats': state.batch_stats})
+        for imgs, boxes, labels, valid, _n in val_loader:
+            imgs_d, _ = test_aug(jnp.asarray(imgs), jnp.asarray(boxes),
+                                 jax.random.PRNGKey(0))
+            evaluator.add_batch(imgs_d, boxes, labels, valid)
+        res = evaluator.results()
+        per_cls = ' '.join(f'{DETECTOR_CLASSES[c]}:{res[c]:.3f}'
+                           for c in range(9))
+        print(f'val epoch {epoch}: mAP@0.5 {res["mAP"]:.4f} ({per_cls})',
+              flush=True)
+
     for epoch in range(int(cfg.data.max_epochs)):
         trainer.train(epoch, epoch == int(cfg.data.max_epochs) - 1)
+        if val_loader is not None and \
+                (epoch % int(cfg.utils.save_freq) == 0 or
+                 epoch == int(cfg.data.max_epochs) - 1):
+            validate(trainer.state, epoch)
 
 
 if __name__ == '__main__':

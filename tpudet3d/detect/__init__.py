@@ -5,9 +5,10 @@ from .assigner import iou_xyxy, assign_anchors
 from .ssd import SSDDetector
 from .losses import ssd_loss
 from .nms import greedy_nms, decode_detections
+from .eval import DetectorEvaluator, average_precision
 
 __all__ = ['generate_anchors', 'num_anchors_per_level', 'STRIDES',
            'CLUSTERED_WIDTHS', 'CLUSTERED_HEIGHTS', 'INPUT_SIZE',
            'encode_boxes', 'decode_boxes', 'DEFAULT_STDS', 'iou_xyxy',
            'assign_anchors', 'SSDDetector', 'ssd_loss', 'greedy_nms',
-           'decode_detections']
+           'decode_detections', 'DetectorEvaluator', 'average_precision']

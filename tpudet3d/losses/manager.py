@@ -103,7 +103,9 @@ class LossManager:
         iter_ = jnp.asarray(iter_)
         fire = jnp.logical_and(iter_ % self.C == 0, iter_ != 0)
         new_state = jax.lax.cond(fire, do_update, lambda s: s, acc)
-        total = state.lam_reg * reg_loss + state.lam_cls * cls_loss
+        # the reference applies the just-updated lam_cls to this step's loss
+        # (regression_losses.py:111-115)
+        total = new_state.lam_reg * reg_loss + new_state.lam_cls * cls_loss
         return total, new_state
 
     # convenience alias
