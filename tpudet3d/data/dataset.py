@@ -156,6 +156,12 @@ class SyntheticObjectron:
         proj = pts[:, :2] / (-pts[:, 2:3]) + 0.5
         return proj
 
+    # strong, well-separated per-class colors (class must be inferable)
+    _PALETTE = np.asarray(
+        [[230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+         [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+         [128, 128, 0]], np.uint8)
+
     def __getitem__(self, idx):
         rng = np.random.RandomState(self.seed * 100003 + idx)
         for _ in range(32):
@@ -165,15 +171,26 @@ class SyntheticObjectron:
         th, tw = self.resize
         kps_px = (kps01 * np.asarray([tw, th])).astype(np.float32)
         category = int(rng.randint(0, self.num_classes))
-        img = rng.randint(0, 255, size=(th, tw, 3)).astype(np.uint8)
-        # draw the wireframe so the task is learnable from pixels
+        img = rng.randint(0, 64, size=(th, tw, 3)).astype(np.uint8)
+        # render a filled, class-colored box so kps AND class are learnable
         if _HAS_CV2:
             from ..utils.drawing import EDGES
             pts = kps_px.astype(int)
-            color = tuple(int(c) for c in
-                          np.linspace(40, 215, 3 * 9)[category::9][:3])
+            color = tuple(int(c) for c in self._PALETTE[category])
+            dim = tuple(int(c * 0.45) for c in self._PALETTE[category])
+            hull = cv.convexHull(pts[1:].reshape(-1, 1, 2))
+            cv.fillConvexPoly(img, hull, dim)
+            thickness = max(int(round(min(th, tw) / 100)), 2)
             for a, b in EDGES:
-                cv.line(img, tuple(pts[a]), tuple(pts[b]), color, 2)
+                cv.line(img, tuple(pts[a]), tuple(pts[b]), color, thickness)
+            cv.circle(img, tuple(pts[0]), thickness + 1, (255, 255, 255), -1)
+            # per-vertex markers: a symmetric box has no canonical vertex
+            # order from pixels alone — mark each corner distinctly so the
+            # correspondence (and hence ADD / 3D IoU) is learnable
+            for v in range(1, 9):
+                shade = int(30 + 25 * v)
+                cv.circle(img, tuple(pts[v]), thickness + 1,
+                          (shade, 255 - shade, 255 if v % 2 else 80), -1)
         if self.mode == 'test':
             return img, img.copy(), kps_px, category, (0, 0, tw, th)
         return img, kps_px, category

@@ -61,29 +61,29 @@ class Trainer:
             loop = None
 
         def drain(pending_item):
-            metrics, bs = pending_item
+            metrics, bs, step_idx = pending_item
             m = np.asarray(metrics)
             if not np.all(np.isfinite(m)):
                 # failure detection (SURVEY.md §5.3): surface divergence with
                 # context instead of training on garbage
                 raise FloatingPointError(
-                    f'non-finite training metrics at step '
-                    f'{self.train_step_counter}: loss={m[0]} ADD={m[1]} '
-                    f'SADD={m[2]} acc={m[3]} (lr={lr}) — checkpoint at '
-                    f'{self.log_path} can be resumed with a lower lr')
+                    f'non-finite training metrics at step {step_idx}: '
+                    f'loss={m[0]} ADD={m[1]} SADD={m[2]} acc={m[3]} '
+                    f'(lr={lr}) — checkpoint at {self.log_path} can be '
+                    f'resumed with a lower lr')
             losses.update(float(m[0]), bs)
             add_m.update(float(m[1]), bs)
             sadd_m.update(float(m[2]), bs)
             acc_m.update(float(m[3]), bs)
             if self.writer is not None:
                 self.writer.add_scalar('Train/loss', float(m[0]),
-                                       global_step=self.train_step_counter)
+                                       global_step=step_idx)
                 self.writer.add_scalar('Train/ADD', add_m.avg,
-                                       global_step=self.train_step_counter)
+                                       global_step=step_idx)
                 self.writer.add_scalar('Train/SADD', sadd_m.avg,
-                                       global_step=self.train_step_counter)
+                                       global_step=step_idx)
                 self.writer.add_scalar('Train/ACC', acc_m.avg,
-                                       global_step=self.train_step_counter)
+                                       global_step=step_idx)
 
         for it, (imgs, kps, cats, _true_n) in enumerate(self.train_loader):
             self.rng, aug_key, drop_key = jax.random.split(self.rng, 3)
@@ -96,7 +96,7 @@ class Trainer:
                                                   cats_d, drop_key)
             if pending is not None:
                 drain(pending)       # previous step's metrics — no stall
-            pending = (metrics, imgs.shape[0])
+            pending = (metrics, imgs.shape[0], self.train_step_counter)
             self.train_step_counter += 1
 
             batch_time.update(time.time() - start)
