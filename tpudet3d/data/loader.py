@@ -49,6 +49,16 @@ class BatchLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        # multi-host seam: each process reads its own interleaved slice of
+        # the (identically shuffled) index stream; batches then carry only
+        # the per-process shard of the global batch (SURVEY.md §5.8)
+        try:
+            import jax
+            n_proc = jax.process_count()
+        except Exception:
+            n_proc = 1
+        if n_proc > 1:
+            idx = idx[jax.process_index()::n_proc]
         n_full = len(idx) // self.batch_size
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_full)]

@@ -52,7 +52,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """device_put a pytree of host arrays with batch-dim sharding."""
+    """device_put a pytree of host arrays with batch-dim sharding.
+
+    Single-host: a plain sharded device_put.  Multi-host: each process
+    passes its *local* slice of the global batch (the loader interleaves
+    indices per process) and the global array is assembled across processes.
+    """
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(x)), np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
 
