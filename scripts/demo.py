@@ -112,8 +112,8 @@ def run(capture, engine, tracker, write_video=False, resolution=(1280, 720),
         if not has_frame or (max_frames and n >= max_frames):
             break
         frame = cv.resize(frame, resolution)
-        result = engine.wait_and_grab()     # frame N-1 results
-        engine.run_async(frame)             # dispatch frame N
+        engine.run_async(frame)             # dispatch frame N first...
+        result = engine.wait_and_grab()     # ...then block on frame N-1
         vis = draw_frame(prev_frame, result, tracker)
         if not benchmark:
             cv.imshow('3D-object-detection', vis)

@@ -34,10 +34,14 @@ from functools import partial
 
 
 class _DetBatchLoader(BatchLoader):
-    """BatchLoader over (img, boxes, labels, valid) detection items."""
+    """BatchLoader over (img, boxes, labels, valid) detection items.
+    host_transform here is fn(epoch, idx, img, boxes, labels, valid)."""
 
     def _assemble(self, indices):
         items = [self.dataset[int(i)] for i in indices]
+        if self.host_transform is not None:
+            items = [self.host_transform(self._epoch, int(i), *it)
+                     for i, it in zip(indices, items)]
         return tuple(np.stack([it[k] for it in items]) for k in range(4))
 
 
@@ -85,9 +89,15 @@ def main():
                               input_size=int(cfg.input_size),
                               min_size=int(cfg.data.min_size),
                               max_boxes=int(cfg.data.max_boxes))
+    from tpudet3d.data.det_host_transforms import build_detection_host_pipeline
+    host_aug = build_detection_host_pipeline(
+        input_size=int(cfg.input_size),
+        enable=bool(cfg.augment.get('expand_crop', True)),
+        seed=int(cfg.utils.random_seeds))
     loader = _DetBatchLoader(ds, int(cfg.data.train_batch_size), shuffle=True,
                              drop_last=True,
-                             num_threads=int(cfg.data.num_workers))
+                             num_threads=int(cfg.data.num_workers),
+                             host_transform=host_aug)
 
     lr_fn = warmup_step_lr(base_lr=base_lr,
                            warmup_iters=int(cfg.scheduler.warmup_iters),

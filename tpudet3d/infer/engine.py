@@ -53,8 +53,7 @@ class TwoStageEngine:
         self.reg_model = regressor_model
         self.reg_vars = regressor_vars
         self.anchors = jnp.asarray(generate_anchors())
-        self._pending = None
-        self._pending_shape = None
+        self._pending = []   # FIFO of in-flight device results
 
         cfg = self.cfg
 
@@ -116,18 +115,22 @@ class TwoStageEngine:
         confident detections (reference Detector conf threshold,
         ie_wrappers.py:72,101)."""
         self.run_async(frame)
+        while len(self._pending) > 1:    # drop stale in-flight results
+            self._pending.pop(0)
         return self.wait_and_grab()
 
     # --- async (double-buffered) API --------------------------------------
     def run_async(self, frame):
+        """Dispatch (upload + compute) without blocking; results are a FIFO
+        so callers may keep several frames in flight (the demo dispatches
+        frame N before reading N−1, overlapping upload with compute)."""
         h, w = frame.shape[:2]
         out = self._pipeline(jnp.asarray(frame), h, w)
-        self._pending = out
+        self._pending.append(out)
 
     def wait_and_grab(self):
-        assert self._pending is not None, 'no async inference in flight'
-        packed = np.asarray(jax.device_get(self._pending))
-        self._pending = None
+        assert self._pending, 'no async inference in flight'
+        packed = np.asarray(jax.device_get(self._pending.pop(0)))
         keep = np.nonzero(packed[:, 25] > 0)[0]
         rows = packed[keep]
         return {
