@@ -11,7 +11,7 @@ import pathlib
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
-TARGETS = ['tpudet3d', 'scripts', 'bench.py', '__graft_entry__.py']
+TARGETS = ['tpudet3d', 'scripts', 'benchmarks', 'bench.py', '__graft_entry__.py']
 
 
 def iter_py_files():
