@@ -67,6 +67,33 @@ class TestBox3dIoU:
         assert abs(m[0, 0] - 1) < 1e-5 and abs(m[1, 1] - 1) < 1e-5
         assert m[0, 1] == 0.0 and m[1, 0] == 0.0
 
+    def test_fuzz_vs_qhull(self):
+        """Random oriented, anisotropic, offset box pairs vs the independent
+        scipy halfspace-intersection implementation."""
+        from tpudet3d.ops.box3d import iou_single_host
+        import jax
+        rng = np.random.RandomState(17)
+
+        def random_box():
+            angles = rng.uniform(-np.pi, np.pi, 3)
+            cx, sx = np.cos(angles[0]), np.sin(angles[0])
+            cy, sy = np.cos(angles[1]), np.sin(angles[1])
+            cz, sz = np.cos(angles[2]), np.sin(angles[2])
+            rot = (np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]]) @
+                   np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]]) @
+                   np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]]))
+            half = rng.uniform(0.2, 0.8, 3)
+            center = rng.uniform(-0.4, 0.4, 3)
+            return box_kps(center, half, rot)
+
+        pairs = [(random_box(), random_box()) for _ in range(24)]
+        a = jnp.asarray(np.stack([p[0] for p in pairs]))
+        b = jnp.asarray(np.stack([p[1] for p in pairs]))
+        dev = np.asarray(iou_oriented_boxes(a, b))
+        for i, (b1, b2) in enumerate(pairs):
+            host = iou_single_host(b1, b2)
+            assert abs(float(dev[i]) - host) < 5e-3, (i, float(dev[i]), host)
+
     def test_nonfinite_inputs_zero(self):
         bad = UNIT.copy()
         bad[3] = np.nan
