@@ -64,13 +64,11 @@ def main():
                               jnp.int32).astype(jnp.uint8)
     kps = jax.random.uniform(key, (args.batch, 9, 2)) * 224
     cats = jax.random.randint(key, (args.batch,), 0, 9)
-    imgs_a, kps_a = pipe.train_aug(imgs, kps, key)
-    state, metrics = pipe.train_step(pipe.state, imgs_a, kps_a, cats, key)
+    state, metrics = pipe.train_step(pipe.state, imgs, kps, cats, key)
     jax.block_until_ready(metrics)
     t0 = time.time()
     for i in range(args.iters):
-        imgs_b, kps_b = pipe.train_aug(imgs, kps, jax.random.PRNGKey(i))
-        state, metrics = pipe.train_step(state, imgs_b, kps_b, cats,
+        state, metrics = pipe.train_step(state, imgs, kps, cats,
                                          jax.random.PRNGKey(i))
     jax.block_until_ready(metrics)
     dt = time.time() - t0

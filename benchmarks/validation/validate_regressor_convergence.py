@@ -45,9 +45,9 @@ t0 = time.time()
 for epoch in range(25):
     set_learning_rate(state.opt_state, pipe.lr_schedule(epoch))
     for imgs, kps, cats, _n in pipe.train_loader:
-        rng, k1, k2 = jax.random.split(rng, 3)
-        imgs_d, kps_d = pipe.train_aug(pipe.put_fn(imgs), pipe.put_fn(kps), k1)
-        state, metrics = pipe.train_step(state, imgs_d, kps_d, pipe.put_fn(cats), k2)
+        rng, k = jax.random.split(rng)
+        state, metrics = pipe.train_step(state, pipe.put_fn(imgs),
+                                         pipe.put_fn(kps), pipe.put_fn(cats), k)
     if epoch % 5 == 4 or epoch == 0:
         m = np.asarray(metrics)
         print(f'epoch {epoch}: loss {m[0]:.4f} ADD {m[1]:.4f} SADD {m[2]:.4f} acc {m[3]:.3f} ({time.time()-t0:.0f}s)', flush=True)

@@ -96,7 +96,7 @@ def main():
                       writer=writer,
                       max_epoch=int(cfg.data.max_epochs),
                       log_path=cfg.output_dir,
-                      augment_fn=pipe.train_aug,
+                      augment_fn=None,   # augs are fused into train_step
                       put_fn=pipe.put_fn,
                       save_chkpt=args.wo_saving_checkpoint,
                       debug=bool(cfg.utils.debug_mode),

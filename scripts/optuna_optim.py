@@ -48,11 +48,11 @@ def objective(cfg, args, trial):
         for it, (imgs, kps, cats, _n) in enumerate(pipe.train_loader):
             if it >= n_train:
                 break
-            rng, k1, k2 = jax.random.split(rng, 3)
-            imgs_d, kps_d = pipe.train_aug(pipe.put_fn(imgs),
-                                           pipe.put_fn(kps), k1)
-            state, metrics = pipe.train_step(state, imgs_d, kps_d,
-                                             pipe.put_fn(cats), k2)
+            rng, k = jax.random.split(rng)
+            # augmentation is fused inside train_step
+            state, metrics = pipe.train_step(state, pipe.put_fn(imgs),
+                                             pipe.put_fn(kps),
+                                             pipe.put_fn(cats), k)
             losses.update(float(np.asarray(metrics)[0]), imgs.shape[0])
         # validation SADD
         sadd_meter = AverageMeter()

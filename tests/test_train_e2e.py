@@ -67,7 +67,7 @@ class TestTrainE2E:
                           train_loader=pipe.train_loader,
                           lr_schedule=pipe.lr_schedule, writer=None,
                           max_epoch=2, log_path=str(tmp_path),
-                          augment_fn=pipe.train_aug, put_fn=pipe.put_fn,
+                          augment_fn=None, put_fn=pipe.put_fn,
                           save_chkpt=True, print_freq=100, save_freq=1)
         losses = []
         for epoch in range(2):
@@ -103,12 +103,10 @@ class TestTrainE2E:
         pipe = setup_training(cfg)
         imgs, kps, cats, _ = next(iter(pipe.train_loader))
         imgs_d, kps_d, cats_d = map(pipe.put_fn, (imgs, kps, cats))
-        key = jax.random.PRNGKey(0)
-        imgs_a, kps_a = pipe.test_aug(imgs_d, kps_d, key)
         state = pipe.state
         first = last = None
         for i in range(30):
-            state, metrics = pipe.train_step(state, imgs_a, kps_a, cats_d,
+            state, metrics = pipe.train_step(state, imgs_d, kps_d, cats_d,
                                              jax.random.PRNGKey(i))
             val = float(np.asarray(metrics)[0])
             first = val if first is None else first

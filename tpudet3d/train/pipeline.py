@@ -69,7 +69,10 @@ def setup_training(cfg, mesh=None, seed=None, with_loaders=True):
     pipe = TrainingPipeline(
         model=model, loss_manager=loss_manager, optimizer=optimizer,
         lr_schedule=lr_schedule, state=state,
-        train_step=make_train_step(model, loss_manager, optimizer),
+        # device augmentation is fused INTO the train step (single program;
+        # no intermediate f32 image materialization)
+        train_step=make_train_step(model, loss_manager, optimizer,
+                                   augment_fn=train_aug),
         eval_step=make_eval_step(model, num_classes=9),
         train_aug=jax.jit(train_aug), test_aug=jax.jit(test_aug),
         mesh=mesh, put_fn=partial(shard_batch, mesh=mesh))
