@@ -73,54 +73,70 @@ def get_baseline():
     return data
 
 
-def measure_tpu(n_iters=100):
-    """Returns (device_resident_fps, host_included_fps).
+def measure_tpu(n_iters=50, server_batch=16):
+    """Returns (server_fps, streaming_fps, host_included_fps).
 
-    device_resident: frame already in HBM (production: decoder/camera DMA
-    feeds the accelerator) — pure pipeline throughput.
+    server: N frames per program (batched SSD + batched crops/regressor) —
+    peak sustainable serving throughput with device-resident input.
+    streaming: one frame per program, chained (latency-oriented).
     host_included: plus the H2D upload.  NOTE: this environment reaches the
     TPU through a ~41 MB/s relay tunnel (65 ms per 720p frame), which is an
     artifact of the harness, not of the design — on a co-located host the
     upload is ~1 ms over PCIe.
     """
     import jax
+    import jax.numpy as jnp
     sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), 'scripts'))
     from demo import build_engine
     engine = build_engine('', det_conf=0.0,
                           max_detections=max(DETS_PER_FRAME, 8))
     frame = np.random.randint(0, 255, FRAME_SHAPE).astype(np.uint8)
-    engine(frame)                      # compile
-
-    # device-resident: reuse the uploaded frame, chain the compiled pipeline
-    frame_dev = jax.device_put(frame)
+    engine(frame)                      # compile single-frame path
     h, w = FRAME_SHAPE[:2]
+
+    # server mode: batched frames, device-resident
+    frames = np.random.randint(0, 255, (server_batch, *FRAME_SHAPE)) \
+        .astype(np.uint8)
+    engine.infer_batch(frames)         # compile batched path
+    frames_dev = jax.device_put(jnp.asarray(frames))
+    out = engine._pipeline_batch(frames_dev, h, w)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = engine._pipeline_batch(frames_dev, h, w)
+    jax.block_until_ready(out)
+    server_fps = server_batch * n_iters / (time.perf_counter() - start)
+
+    # streaming: single frame chained
+    frame_dev = jax.device_put(frame)
     out = engine._pipeline(frame_dev, h, w)
     jax.block_until_ready(out)
     start = time.perf_counter()
     for _ in range(n_iters):
         out = engine._pipeline(frame_dev, h, w)
     jax.block_until_ready(out)
-    device_fps = n_iters / (time.perf_counter() - start)
+    streaming_fps = n_iters / (time.perf_counter() - start)
 
-    engine.run_async(frame)            # warm async path
+    engine.run_async(frame)            # warm async host path
     start = time.perf_counter()
-    for _ in range(min(n_iters, 50)):
+    for _ in range(n_iters):
         engine.wait_and_grab()
         engine.run_async(frame)
     engine.wait_and_grab()
-    host_fps = (min(n_iters, 50) + 1) / (time.perf_counter() - start)
-    return device_fps, host_fps
+    host_fps = (n_iters + 1) / (time.perf_counter() - start)
+    return server_fps, streaming_fps, host_fps
 
 
 def main():
     baseline = get_baseline()
-    device_fps, host_fps = measure_tpu()
+    server_fps, streaming_fps, host_fps = measure_tpu()
     base_fps = baseline['torch_cpu_two_stage_fps']
     print(json.dumps({
-        'metric': 'two-stage pipeline frames/sec (720p, SSD300 + 3D regressor, device-resident input)',
-        'value': round(device_fps, 2),
+        'metric': 'two-stage pipeline frames/sec (720p, SSD300 + 3D regressor, batch-16 serving, device-resident input)',
+        'value': round(server_fps, 2),
         'unit': 'frames/sec/chip',
-        'vs_baseline': round(device_fps / base_fps, 2),
+        'vs_baseline': round(server_fps / base_fps, 2),
+        'streaming_single_frame_fps': round(streaming_fps, 2),
         'host_included_fps_via_41MBps_tunnel': round(host_fps, 2),
         'torch_cpu_baseline_fps': round(base_fps, 3),
     }))

@@ -109,6 +109,33 @@ class TwoStageEngine:
 
         self._pipeline = pipeline
 
+        @partial(jax.jit, static_argnames=('h', 'w'))
+        def pipeline_batch(frames_u8, h, w):
+            """Server mode: N frames in one program — the SSD runs as one
+            batched forward and all N*K crops as one regressor forward."""
+            return jax.vmap(lambda f: pipeline(f, h, w))(frames_u8)
+
+        self._pipeline_batch = pipeline_batch
+
+    # --- batched (server) API ---------------------------------------------
+    def infer_batch(self, frames):
+        """frames [N,H,W,3] uint8 → list of per-frame result dicts."""
+        n, h, w = frames.shape[:3]
+        packed = np.asarray(jax.device_get(
+            self._pipeline_batch(jnp.asarray(frames), h, w)))
+        out = []
+        for i in range(n):
+            keep = np.nonzero(packed[i, :, 25] > 0)[0]
+            rows = packed[i, keep]
+            out.append({
+                'boxes': rows[:, 0:4],
+                'scores': rows[:, 4],
+                'det_labels': rows[:, 5].astype(np.int32),
+                'kp': rows[:, 6:24].reshape(-1, 9, 2),
+                'labels': rows[:, 24].astype(np.int32),
+            })
+        return out
+
     # --- synchronous API -------------------------------------------------
     def __call__(self, frame):
         """frame: HWC uint8 numpy.  Returns dict of numpy outputs for the
