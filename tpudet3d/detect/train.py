@@ -64,10 +64,14 @@ def create_detector_state(model, optimizer, rng, input_size=300, batch=2):
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
 
-def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False):
+def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False,
+                             input_size=None):
     """``use_balance`` enables the (clamped) learned loss weighting; plain
-    sum converges faster on short schedules (see losses.ssd_loss note)."""
-    anchors = jnp.asarray(generate_anchors())
+    sum converges faster on short schedules (see losses.ssd_loss note).
+    ``input_size`` overrides the anchor grid (default: reference 300)."""
+    anchors = jnp.asarray(generate_anchors()
+                          if input_size is None else
+                          generate_anchors(input_size))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: DetTrainState, imgs, gt_boxes, gt_labels, gt_valid):
