@@ -82,7 +82,10 @@ def main():
             if not check_isfile(cfg.model.load_weights) and \
                     not osp.isdir(cfg.model.load_weights):
                 raise RuntimeError("the checkpoint isn't found or can't be loaded!")
-            state = load_pretrained_weights(state, cfg.model.load_weights)
+            if not cfg.model.load_weights.endswith(('.pth', '.pt')):
+                # .pth torch checkpoints were already imported inside
+                # setup_training (see train/pipeline.py)
+                state = load_pretrained_weights(state, cfg.model.load_weights)
     state = replicate(state, pipe.mesh)
 
     writer = make_writer(cfg.output_dir)

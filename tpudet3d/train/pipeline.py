@@ -41,6 +41,35 @@ class TrainingPipeline:
     test_loader: Any = None
 
 
+def _maybe_import_torch_weights(cfg, state):
+    """Consume ``cfg.model.pretrained`` / a ``.pth`` ``load_weights``
+    (reference: model_builder.py:37-69 + mobilenetv3.py:234-271 download and
+    load ImageNet(-21k) torch weights when ``pretrained=True``)."""
+    from ..utils.torch_import import (load_torch_checkpoint_into,
+                                      resolve_pretrained_path)
+    lw = str(cfg.model.get('load_weights') or '')
+    if cfg.model.get('resume'):
+        return state            # resume wins; handled by the CLI
+    if lw.endswith(('.pth', '.pt')):
+        path = lw
+    else:
+        if lw:                  # own orbax snapshot; handled by the CLI
+            return state
+        pretrained = cfg.model.get('pretrained', False)
+        if not pretrained:
+            return state
+        path = resolve_pretrained_path(cfg.model.name, pretrained)
+        if path is None:
+            print(f'WARNING: model.pretrained={pretrained!r} but no local '
+                  f'torch checkpoint found (set $TPUDET3D_PRETRAINED_DIR or '
+                  f'place pretrained/{cfg.model.name}.pth); '
+                  f'training from random init')
+            return state
+    new_params, new_bs = load_torch_checkpoint_into(
+        state.params, state.batch_stats, path)
+    return state.replace(params=new_params, batch_stats=new_bs)
+
+
 def setup_training(cfg, mesh=None, seed=None, with_loaders=True):
     if seed is None:
         seed = int(cfg.utils.random_seeds or 5)
@@ -63,6 +92,7 @@ def setup_training(cfg, mesh=None, seed=None, with_loaders=True):
     state = create_train_state(model, optimizer, loss_manager, init_key,
                                input_shape,
                                num_classes=int(cfg.model.num_classes or 9))
+    state = _maybe_import_torch_weights(cfg, state)
     state = replicate(state, mesh)
 
     train_aug, test_aug = build_augmentations(cfg)

@@ -12,13 +12,30 @@ Key transforms torch→flax(NHWC):
   dw conv      [C,1,kh,kw]  → [kh,kw,1,C]
   linear       [O,I]        → [I,O]
   bn           weight/bias/running_mean/running_var → scale/bias/mean/var
+
+Matching is by *ordered shape matching within parameter kinds*: both a
+sequential torch trunk and the Flax tree enumerate layers in construction
+order, so per-kind FIFO queues align exactly.  Two details make this
+correct (not just plausible):
+
+* ``jax.tree_util`` flattens dicts in *lexicographic* key order, which
+  scrambles ``blocks_10`` before ``blocks_2`` — leaves are therefore
+  re-sorted by a digit-aware natural key before matching, restoring
+  construction order.
+* BatchNorm biases and Linear biases are distinct kinds (``bn_bias`` vs
+  ``dense_bias``): inside an SE block the torch order is
+  (se.fc1.bias, se.fc2.bias, project_bn.bias) while the Flax natural order
+  is (project_bn.bias, se_fc1.bias, se_fc2.bias); a single shared bias
+  queue would desync on every SE block.
 """
 
+import re
 from typing import Dict
 
 import numpy as np
 
-__all__ = ['torch_state_dict_to_flax', 'load_torch_checkpoint_into']
+__all__ = ['torch_state_dict_to_flax', 'load_torch_checkpoint_into',
+           'resolve_pretrained_path']
 
 
 def _convert_tensor(name, tensor):
@@ -44,14 +61,83 @@ def torch_state_dict_to_flax(state_dict) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
-                               name_map=None, verbose=True):
-    """Best-effort structural merge of a torch checkpoint into flax trees.
+def _torch_kind(name, arr, raw_keys):
+    """Parameter kind of a torch state_dict entry.  BN membership is decided
+    by whether the module owns running stats — name heuristics alone cannot
+    tell a BN bias from a Linear bias."""
+    if name.endswith('running_mean'):
+        return 'bn_mean'
+    if name.endswith('running_var'):
+        return 'bn_var'
+    if arr.ndim == 4:
+        return 'conv'
+    if arr.ndim == 2:
+        return 'dense'
+    prefix = name.rsplit('.', 1)[0]
+    is_bn = f'{prefix}.running_mean' in raw_keys
+    if name.endswith('weight'):
+        return 'bn_scale' if is_bn else 'other'
+    if name.endswith('bias'):
+        return 'bn_bias' if is_bn else 'dense_bias'
+    return 'other'
 
-    Without an explicit ``name_map`` the merge is by *ordered shape
-    matching* within parameter kinds (conv kernels, bn scales, ...), which
-    is exact for sequentially-built trunks like MobileNetV3: both trees
-    enumerate layers in construction order.
+
+def _flax_kind(path_str, arr):
+    p = path_str.lower()
+    if arr.ndim == 4:
+        return 'conv'
+    if arr.ndim == 2:
+        return 'dense'
+    if 'mean' in p:
+        return 'bn_mean'
+    if 'var' in p:
+        return 'bn_var'
+    if 'scale' in p:
+        return 'bn_scale'
+    is_bn = 'batchnorm' in p or 'bn' in p
+    if arr.ndim == 1 and 'bias' in p:
+        return 'bn_bias' if is_bn else 'dense_bias'
+    return 'other'
+
+
+def _natural_key(path_str):
+    """Digit-aware sort key: blocks_2 < blocks_10 (flax flattening is
+    lexicographic, which would scramble construction order)."""
+    return [int(t) if t.isdigit() else t
+            for t in re.split(r'(\d+)', path_str)]
+
+
+def resolve_pretrained_path(model_name, pretrained):
+    """Resolve ``cfg.model.pretrained`` to a local checkpoint path.
+
+    The reference downloads from gdown URLs (mobilenetv3.py:234-271); this
+    environment has zero egress, so ``pretrained`` is either an explicit
+    path or ``True`` → search ``$TPUDET3D_PRETRAINED_DIR`` then
+    ``./pretrained/`` for ``{model_name}.pth``.  Returns None if not found.
+    """
+    import os
+    if isinstance(pretrained, str) and pretrained:
+        return pretrained if os.path.isfile(pretrained) else None
+    if not pretrained:
+        return None
+    candidates = []
+    root = os.environ.get('TPUDET3D_PRETRAINED_DIR')
+    if root:
+        candidates.append(os.path.join(root, f'{model_name}.pth'))
+    candidates.append(os.path.join('pretrained', f'{model_name}.pth'))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None
+
+
+def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
+                               verbose=True):
+    """Ordered-shape-matching merge of a torch checkpoint into flax trees.
+
+    Returns ``(new_params, new_batch_stats)``.  Unmatched flax leaves keep
+    their initialization; unmatched torch tensors are reported and dropped
+    (reference tolerance: utils.py:127-183).
     """
     import torch
     import jax
@@ -59,31 +145,12 @@ def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
     ckpt = torch.load(checkpoint_path, map_location='cpu')
     if 'state_dict' in ckpt:
         ckpt = ckpt['state_dict']
+    raw_keys = set(ckpt.keys())
     flat_torch = torch_state_dict_to_flax(ckpt)
-
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
-    bn_leaves, bn_treedef = jax.tree_util.tree_flatten_with_path(batch_stats)
-
-    def classify(path_str, arr):
-        if arr.ndim == 4:
-            return 'conv'
-        if arr.ndim == 2:
-            return 'dense'
-        if 'mean' in path_str:
-            return 'bn_mean'
-        if 'var' in path_str:
-            return 'bn_var'
-        if 'scale' in path_str or 'weight' in path_str:
-            return 'bn_scale'
-        return 'bias'
 
     torch_by_kind = {}
     for name, arr in flat_torch.items():
-        kind = ('bn_mean' if name.endswith('running_mean') else
-                'bn_var' if name.endswith('running_var') else
-                'conv' if arr.ndim == 4 else
-                'dense' if arr.ndim == 2 else
-                'bn_scale' if name.endswith('weight') else 'bias')
+        kind = _torch_kind(name, arr, raw_keys)
         torch_by_kind.setdefault(kind, []).append((name, arr))
 
     used = {k: 0 for k in torch_by_kind}
@@ -100,22 +167,28 @@ def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
         skipped += 1
         return None
 
-    def merge(flat, kinds_hint):
-        out = []
-        for path, leaf in flat:
-            path_str = jax.tree_util.keystr(path)
-            kind = classify(path_str, np.asarray(leaf))
-            cand = take(kind, np.shape(leaf))
-            out.append(cand.astype(np.asarray(leaf).dtype)
-                       if cand is not None else leaf)
-        return out
+    def merge(tree):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        order = sorted(range(len(leaves)),
+                       key=lambda i: _natural_key(
+                           jax.tree_util.keystr(leaves[i][0])))
+        out = [None] * len(leaves)
+        for i in order:
+            path, leaf = leaves[i]
+            arr = np.asarray(leaf)
+            cand = take(_flax_kind(jax.tree_util.keystr(path), arr),
+                        arr.shape)
+            out[i] = cand.astype(arr.dtype) if cand is not None else leaf
+        return jax.tree_util.tree_unflatten(treedef, out)
 
-    new_params = jax.tree_util.tree_unflatten(
-        treedef, merge(leaves, 'params'))
-    new_bs = jax.tree_util.tree_unflatten(
-        bn_treedef, merge(bn_leaves, 'stats'))
+    new_params = merge(params)
+    new_bs = merge(batch_stats)
     if verbose:
-        print(f'torch import: matched {matched} tensors, skipped {skipped}')
+        leftovers = [q[i][0] for k, q in torch_by_kind.items()
+                     for i in range(used.get(k, 0), len(q))]
+        print(f'torch import: matched {matched} tensors, skipped {skipped}'
+              + (f'; unused torch tensors: {leftovers[:8]}'
+                 f'{"..." if len(leftovers) > 8 else ""}' if leftovers else ''))
     if matched == 0:
         raise RuntimeError('no torch tensors could be matched')
     return new_params, new_bs
