@@ -96,9 +96,8 @@ def main():
                 image, gt2d, gt3d, vis, plane = decode_example(payload)
                 if image is None or len(gt2d) == 0:
                     continue
-                keep = vis > args.vis_thresh if len(vis) else \
-                    np.ones(len(gt2d), bool)
-                gt2d, gt3d = gt2d[keep], gt3d[keep]
+                if not len(vis):
+                    vis = np.ones(len(gt2d), np.float32)
                 result = engine(image)
                 h, w = image.shape[:2]
                 pred2d = []
@@ -114,7 +113,8 @@ def main():
                     pred3d = np.zeros((0, 9, 3), np.float32)
                 evaluator.evaluate_example(
                     [p for p in pred2d], [p for p in pred3d],
-                    [g for g in gt2d], [g for g in gt3d], plane=plane)
+                    [g for g in gt2d], [g for g in gt3d], plane=plane,
+                    visibilities=vis, vis_thresh=args.vis_thresh)
                 n_done += 1
         evaluator.finalize()
         report_path = osp.join(args.report_dir, f'report_{category}.txt')

@@ -1,5 +1,11 @@
-"""Objectron-protocol evaluator tests: accumulators, scale recovery,
-rotation errors, TFRecord + tf.train.Example round-trip."""
+"""Objectron-protocol evaluator tests: vendor-exact accumulators, scale
+recovery, viewpoint errors, the prediction-major evaluate loop (golden
+hand-computed AP values), TFRecord + tf.train.Example round-trip.
+
+Reference semantics being pinned: /root/reference/scripts/objectron_eval.py
+:116-175 (prediction-major matching, max-error sentinels, per-example
+HitMiss, AP normalized by total GT instances).
+"""
 
 import struct
 
@@ -7,26 +13,47 @@ import numpy as np
 
 from tpudet3d.eval.protocol import (HitMiss, AveragePrecision,
                                     ObjectronProtocolEvaluator, compute_scale,
-                                    rotation_errors, read_tfrecord,
-                                    parse_example, fit_box, NUM_BINS)
+                                    compute_viewpoint, viewpoint_errors,
+                                    match_box, iou_2d_extents, read_tfrecord,
+                                    parse_example, fit_box, NUM_BINS,
+                                    MAX_PIXEL_ERROR, MAX_DISTANCE)
 from tests.test_box3d import box_kps
 
 
 class TestAccumulators:
 
     def test_hitmiss_greater(self):
-        hm = HitMiss(np.asarray([0.25, 0.5, 0.75]), greater_is_hit=True)
+        hm = HitMiss(np.asarray([0.25, 0.5, 0.75]))
         hm.record_hit_miss(0.6)
         assert hm.hit.tolist() == [1, 1, 0]
         assert hm.miss.tolist() == [0, 0, 1]
 
-    def test_ap_curve(self):
+    def test_hitmiss_less(self):
+        hm = HitMiss(np.asarray([0.25, 0.5, 0.75]))
+        hm.record_hit_miss(0.3, greater=False)
+        assert hm.hit.tolist() == [0, 1, 1]
+
+    def test_ap_curve_single_example(self):
         ap = AveragePrecision(num_bins=3)
         hm = HitMiss(np.asarray([0.1, 0.5, 0.9]))
         hm.record_hit_miss(0.6)
         ap.append(hm, 1)
         curve = ap.compute_ap_curve()
         assert curve.tolist() == [1.0, 1.0, 0.0]
+
+    def test_ap_voc_integration_hand_computed(self):
+        """Two examples; at one threshold: ex1 (hit=1, miss=0),
+        ex2 (hit=0, miss=1), 2 GT total.  PR points: (r=.5, p=1),
+        (r=.5, p=.5) → envelope → AP = 0.5 * 1.0 = 0.5."""
+        ap = AveragePrecision(num_bins=1)
+        h1 = HitMiss(np.asarray([0.5]))
+        h1.record_hit_miss(0.9)
+        ap.append(h1, 1)
+        h2 = HitMiss(np.asarray([0.5]))
+        h2.record_hit_miss(0.1)
+        ap.append(h2, 1)
+        curve = ap.compute_ap_curve()
+        np.testing.assert_allclose(curve, [0.5])
 
 
 class TestGeometryBits:
@@ -39,48 +66,169 @@ class TestGeometryBits:
         assert np.allclose(np.abs(np.linalg.det(rot)), 1.0, atol=1e-5)
 
     def test_compute_scale_recovers_true_scale(self):
-        # camera above ground: plane y = -1; GT box rests on it
         gt = box_kps(np.asarray([0., -0.5, -2.]), np.asarray([.5, .5, .5]))
         plane = (np.asarray([0., -1., -2.]), np.asarray([0., 1., 0.]))
-        # prediction = same box shrunk by 2x (EPnP scale ambiguity)
         pred = gt * 0.5
         s = compute_scale(pred, plane)
         assert abs(s - 2.0) < 1e-6
 
-    def test_rotation_errors_zero_for_identical(self):
-        kps = box_kps(np.zeros(3), np.asarray([.5, .4, .3]))
-        rot, _, _ = fit_box(kps)
-        az, pol = rotation_errors(rot, rot)
+    def test_viewpoint_errors_zero_for_identical(self):
+        kps = box_kps(np.asarray([0.3, -0.1, -2.]), np.asarray([.5, .4, .3]))
+        az, pol = viewpoint_errors(kps, kps)
         assert az < 1e-4 and pol < 1e-4
 
-    def test_rotation_errors_azimuth(self):
+    def test_viewpoint_azimuth_30deg_yaw(self):
         th = np.radians(30)
         rot_y = np.array([[np.cos(th), 0, np.sin(th)],
                           [0, 1, 0],
                           [-np.sin(th), 0, np.cos(th)]])
-        eye = np.eye(3)
-        az, pol = rotation_errors(eye, rot_y @ eye)
-        assert abs(az - 30) < 1e-3 and pol < 1e-4
+        center = np.asarray([0., 0., -2.])
+        base = box_kps(np.zeros(3), np.asarray([.5, .4, .3]))
+        gt = base + center
+        pred = base @ rot_y.T + center
+        az, pol = viewpoint_errors(pred, gt)
+        assert abs(az - 30.0) < 1e-3, az
+        assert pol < 1e-3, pol
+
+    def test_compute_viewpoint_range(self):
+        kps = box_kps(np.asarray([1., 0., -3.]), np.asarray([.2, .2, .2]))
+        theta, phi = compute_viewpoint(kps)
+        assert -180 <= theta <= 180 and -90 <= phi <= 90
 
 
-class TestEvaluatorFlow:
+def square_kps(cx, cy, half=0.1):
+    """9 normalized 2D keypoints with extents (cx±half, cy±half)."""
+    c = np.asarray([cx, cy], np.float64)
+    corners = np.asarray([[-1, -1], [-1, 1], [1, -1], [1, 1],
+                          [-1, 0], [1, 0], [0, -1], [0, 1]], np.float64)
+    return np.concatenate([c[None], c[None] + half * corners], axis=0)
 
-    def test_perfect_predictions_max_ap(self):
+
+class TestMatchBox:
+
+    def test_matches_best_extent_iou(self):
+        gts = [square_kps(0.3, 0.5), square_kps(0.7, 0.5)]
+        vis = [1.0, 1.0]
+        assert match_box(square_kps(0.31, 0.5), gts, vis) == 0
+        assert match_box(square_kps(0.69, 0.5), gts, vis) == 1
+
+    def test_rejects_low_iou_and_low_visibility(self):
+        gts = [square_kps(0.3, 0.5), square_kps(0.7, 0.5)]
+        assert match_box(square_kps(0.05, 0.05), gts, [1., 1.]) == -1
+        assert match_box(square_kps(0.3, 0.5), gts, [0.01, 1.]) == -1
+
+    def test_extent_iou_value(self):
+        a = square_kps(0.5, 0.5, 0.1)      # [0.4,0.6]^2
+        b = square_kps(0.55, 0.5, 0.1)     # shifted 0.05
+        # inter 0.15*0.2=0.03, union 0.04+0.04-0.03=0.05 → 0.6
+        assert abs(iou_2d_extents(a, b) - 0.6) < 1e-9
+
+
+class TestEvaluatorGolden:
+    """Hand-computed golden AP values for the vendor-exact loop.
+
+    Setup: 2 GT boxes (0.4-cube at (0,0,-2) and (1,0,-3)), 3 predictions:
+      pred0 = GT0 exactly                       (iou 1, pixel 0, add 0)
+      pred1 = GT1 shifted +0.1 in x, 2D +0.05   (iou 0.048/0.080 = 0.6,
+                                                 pixel 0.05, add 0.1)
+      pred2 = garbage far away in 2D            (unmatched → sentinels)
+    One example, 2 instances, 3 recorded predictions.
+    """
+
+    def _run(self):
         ev = ObjectronProtocolEvaluator()
-        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3, .3, .3]))
-        gt2d = np.random.RandomState(0).rand(9, 2)
-        ev.evaluate_example([gt2d], [gt3d], [gt2d], [gt3d])
+        gt3d0 = box_kps(np.asarray([0., 0., -2.]), np.asarray([.2, .2, .2]))
+        gt3d1 = box_kps(np.asarray([1., 0., -3.]), np.asarray([.2, .2, .2]))
+        gt2d0 = square_kps(0.3, 0.5)
+        gt2d1 = square_kps(0.7, 0.5)
+        pred3d1 = gt3d1 + np.asarray([0.1, 0., 0.])
+        pred2d1 = gt2d1 + np.asarray([0.05, 0.])
+        garbage2d = square_kps(0.02, 0.02, 0.01)
+        garbage3d = box_kps(np.asarray([5., 5., -9.]), np.asarray([.2] * 3))
+        ev.evaluate_example(
+            [gt2d0, pred2d1, garbage2d], [gt3d0, pred3d1, garbage3d],
+            [gt2d0, gt2d1], [gt3d0, gt3d1],
+            visibilities=np.asarray([1.0, 1.0]))
         ev.finalize()
-        assert ev._ap_iou.aps[1:].min() > 0.99       # iou=1 hits all but t=...
-        assert ev._ap_pixel.aps.max() == 1.0
+        return ev
 
-    def test_missing_prediction_counts_miss(self):
+    def test_matched_count(self):
+        ev = self._run()
+        assert ev._matched == 2
+        assert ev._total_gt == 2
+
+    def test_ap_iou_bins(self):
+        ev = self._run()
+        # bin 0 (t=0): all 3 hit incl. the iou=0 sentinel (vendor quirk:
+        # recall = 3/2 > 1 when predictions outnumber instances) → AP 1.5
+        np.testing.assert_allclose(ev._ap_iou.aps[0], 1.5)
+        # bin 10 (t=0.5): pred0 (1.0) + pred1 (0.6) hit, garbage miss →
+        # tp=2 fp=1 → P=2/3 R=1 → AP 2/3
+        np.testing.assert_allclose(ev._ap_iou.aps[10], 2 / 3, atol=1e-6)
+        # bin 13 (t=0.65): only pred0 → tp=1 fp=2 → P=1/3 R=1/2 → AP 1/6
+        np.testing.assert_allclose(ev._ap_iou.aps[13], 1 / 6, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_iou.aps[20], 1 / 6, atol=1e-6)
+
+    def test_ap_pixel_bins(self):
+        ev = self._run()
+        # errors: 0.0, 0.05, sentinel 20; thresholds linspace(0,20,21)
+        np.testing.assert_allclose(ev._ap_pixel.aps[0], 1 / 6, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_pixel.aps[1], 2 / 3, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_pixel.aps[20], 1.5)  # sentinel hits
+        assert abs(ev._sum_pixel - 0.05) < 1e-9
+
+    def test_ap_add_bins(self):
+        ev = self._run()
+        # adds: 0.0, 0.1, sentinel 1.0; thresholds linspace(0,1,21)
+        np.testing.assert_allclose(ev._ap_add.aps[0], 1 / 6, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_add.aps[3], 2 / 3, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_add.aps[20], 1.5)
+
+    def test_report_format(self, capsys):
+        ev = self._run()
+        ev.write_report('cup')
+        out = capsys.readouterr().out
+        assert 'Mean Error 2D:' in out
+        assert 'AP @3D IoU    : ' in out
+        assert 'AP @ADDS      : ' in out
+        # pixel threshold display is scaled by 0.1 (vendor quirk)
+        assert '2D Thresholds : 0.0000,\t0.1000,' in out
+
+
+class TestEvaluatorEdgeCases:
+
+    def test_skips_example_with_no_visible_gt(self):
         ev = ObjectronProtocolEvaluator()
-        gt3d = box_kps(np.zeros(3), np.asarray([.3, .3, .3]))
-        gt2d = np.random.RandomState(0).rand(9, 2)
+        gt3d = box_kps(np.asarray([0., 0., 2.]), np.asarray([.3] * 3))  # z>0
+        gt2d = square_kps(0.5, 0.5)
+        ev.evaluate_example([gt2d], [gt3d], [gt2d], [gt3d])
+        assert len(ev._ap_iou.true_positive[0]) == 0   # nothing appended
+        assert ev._total_gt == 1
+
+    def test_center_out_of_frame_not_visible(self):
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3] * 3))
+        gt2d = square_kps(1.5, 0.5)        # center outside [0,1]^2
+        ev.evaluate_example([gt2d], [gt3d], [gt2d], [gt3d])
+        assert len(ev._ap_iou.true_positive[0]) == 0
+
+    def test_no_predictions_appends_empty_hitmiss(self):
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3] * 3))
+        gt2d = square_kps(0.5, 0.5)
         ev.evaluate_example([], [], [gt2d], [gt3d])
         ev.finalize()
         assert ev._ap_iou.aps.max() == 0.0
+        assert ev._total_gt == 1
+
+    def test_perfect_prediction(self):
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3] * 3))
+        gt2d = square_kps(0.5, 0.5)
+        ev.evaluate_example([gt2d], [gt3d], [gt2d], [gt3d])
+        ev.finalize()
+        np.testing.assert_allclose(ev._ap_iou.aps, np.ones(NUM_BINS))
+        np.testing.assert_allclose(ev._ap_pixel.aps, np.ones(NUM_BINS))
 
 
 def _varint(v):

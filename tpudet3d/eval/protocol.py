@@ -5,12 +5,29 @@ HitMiss/AveragePrecision accumulators over TFRecord shards
 (/root/reference/scripts/objectron_eval.py).  The vendor package is not
 vendored here, so this module re-implements the protocol surface:
 
-* ``HitMiss`` / ``AveragePrecision`` accumulators;
-* per-example matching of predictions to GT instances by 2D-keypoint IoU;
-* metrics: 3D IoU (our exact device kernel), 2D pixel error, azimuth and
-  polar rotation errors, ADD / ADD-S with ground-plane scale recovery
+* ``HitMiss`` / ``AveragePrecision`` accumulators (per-example hit/miss
+  lists, cumulative PR curve, VOC-2012 interpolated AP, normalized by the
+  total GT instance count — reference :169-175);
+* the vendor's prediction-major evaluate loop: match each *prediction* to
+  the nearest visible GT by summed squared 2D keypoint distance, penalize
+  unmatched predictions with max-error sentinels (reference :138-166);
+* metrics: 3D IoU (our exact device kernel), normalized 2D vertex error,
+  viewpoint azimuth/polar errors (camera ray in box coordinates), ADD /
+  ADD-S with ground-plane scale recovery
   (scale = mean over the 4 lowest vertex·n of center·n / vertex·n);
 * a pure-python TFRecord reader + tf.train.Example wire parser (no TF dep).
+
+The vendor package itself is unavailable here (submodule not checked out,
+zero egress), so internals not visible in the reference script — HitMiss
+bookkeeping, the PR-curve construction, compute_viewpoint/compute_ray and
+match_box — are documented reconstructions of the published Objectron
+protocol; everything visible in the reference script is reproduced exactly.
+
+Known vendor artifact (preserved): recall = tp / total_GT_instances is NOT
+clamped, so when predictions outnumber GT instances (several predictions
+matching one GT, or many unmatched sentinel hits at the loosest threshold
+bins) per-bin AP can exceed 1.  With a sensibly thresholded detector the
+prediction count tracks the instance count and APs stay in [0, 1].
 
 Report format mirrors the reference's per-class text report
 (objectron_eval.py:177-237).
@@ -26,7 +43,8 @@ from ..data.converter.proto import decode_message
 
 __all__ = ['HitMiss', 'AveragePrecision', 'ObjectronProtocolEvaluator',
            'read_tfrecord', 'parse_example', 'compute_scale',
-           'rotation_errors', 'MAX_PIXEL_ERROR', 'MAX_AZIMUTH_ERROR',
+           'compute_viewpoint', 'viewpoint_errors', 'match_box',
+           'is_visible', 'MAX_PIXEL_ERROR', 'MAX_AZIMUTH_ERROR',
            'MAX_POLAR_ERROR', 'MAX_DISTANCE', 'NUM_BINS']
 
 # protocol constants (vendor objectron.dataset.metrics defaults)
@@ -38,16 +56,23 @@ NUM_BINS = 21
 
 
 class HitMiss:
-    """Hit/miss counts across a threshold sweep."""
+    """Hit/miss counts across a threshold sweep (vendor
+    objectron.dataset.metrics.HitMiss semantics: one instance per call of
+    ``record_hit_miss``, a hit at threshold t iff metric >= t — or <= t for
+    error metrics, ``greater=False``)."""
 
-    def __init__(self, thresholds, greater_is_hit=True):
+    def __init__(self, thresholds):
         self.thresholds = np.asarray(thresholds, np.float64)
-        self.greater = greater_is_hit
-        self.hit = np.zeros(len(self.thresholds))
-        self.miss = np.zeros(len(self.thresholds))
+        self.size = len(self.thresholds)
+        self.hit = np.zeros(self.size)
+        self.miss = np.zeros(self.size)
 
-    def record_hit_miss(self, metric):
-        if self.greater:
+    def reset(self):
+        self.hit = np.zeros(self.size)
+        self.miss = np.zeros(self.size)
+
+    def record_hit_miss(self, metric, greater=True):
+        if greater:
             hits = metric >= self.thresholds
         else:
             hits = metric <= self.thresholds
@@ -56,23 +81,48 @@ class HitMiss:
 
 
 class AveragePrecision:
-    """Accumulates HitMiss curves; AP = mean precision over the sweep."""
+    """Per-threshold AP over per-example hit/miss curves (vendor
+    objectron.dataset.metrics.AveragePrecision semantics, used by the
+    reference at objectron_eval.py:169-175: ``append(hit_miss,
+    len(instances))`` per example, AP normalized by the total GT instance
+    count).  The precision/recall curve accumulates examples in append
+    order; AP integrates the monotone precision envelope over recall steps
+    (Pascal VOC 2012 style)."""
 
     def __init__(self, num_bins=NUM_BINS):
+        self.size = num_bins
         self.aps = np.zeros(num_bins)
-        self.true_positive = np.zeros(num_bins)
-        self.false_positive = np.zeros(num_bins)
-        self._total_instances = 0
+        self.true_positive = [[] for _ in range(num_bins)]
+        self.false_positive = [[] for _ in range(num_bins)]
+        self._total_instances = 0.0
 
     def append(self, hit_miss, num_instances):
-        self.true_positive += hit_miss.hit
-        self.false_positive += hit_miss.miss
+        for i in range(self.size):
+            self.true_positive[i].append(hit_miss.hit[i])
+            self.false_positive[i].append(hit_miss.miss[i])
         self._total_instances += num_instances
 
+    @staticmethod
+    def compute_ap(recall, precision):
+        """VOC-2012 interpolated AP: clamp precision to its running max from
+        the right, integrate over recall increments."""
+        recall = np.concatenate(([0.], recall, [1.]))
+        precision = np.concatenate(([0.], precision, [0.]))
+        for i in range(len(precision) - 1, 0, -1):
+            precision[i - 1] = max(precision[i - 1], precision[i])
+        idx = np.where(recall[1:] != recall[:-1])[0] + 1
+        return float(np.sum((recall[idx] - recall[idx - 1]) * precision[idx]))
+
     def compute_ap_curve(self):
-        total = self.true_positive + self.false_positive
-        with np.errstate(invalid='ignore', divide='ignore'):
-            self.aps = np.where(total > 0, self.true_positive / total, 0.0)
+        for i in range(self.size):
+            tp = np.cumsum(self.true_positive[i], dtype=np.float64)
+            fp = np.cumsum(self.false_positive[i], dtype=np.float64)
+            if len(tp) == 0 or self._total_instances <= 0:
+                self.aps[i] = 0.0
+                continue
+            precision = tp / np.maximum(tp + fp, 1e-12)
+            recall = tp / self._total_instances
+            self.aps[i] = self.compute_ap(recall, precision)
         return self.aps
 
 
@@ -99,51 +149,70 @@ def compute_scale(box_vertices9, plane):
     return float(np.mean(center_dot / denom))
 
 
-def rotation_errors(rot_gt, rot_pred, up_axis=1, symmetric_mod=180.0):
-    """(azimuth_err_deg, polar_err_deg) between two box rotations.
-
-    Azimuth: rotation about the box up axis, folded by the box's 180°
-    symmetry; polar: angle between the up axes."""
-    up_gt = rot_gt[:, up_axis]
-    up_pred = rot_pred[:, up_axis]
-    cos_polar = np.clip(abs(float(up_gt @ up_pred)), -1.0, 1.0)
-    polar = np.degrees(np.arccos(cos_polar))
-
-    fwd_axis = 0 if up_axis != 0 else 2
-    f_gt = rot_gt[:, fwd_axis]
-    f_pred = rot_pred[:, fwd_axis]
-    # project both forward axes into the GT horizontal plane
-    f_gt_h = f_gt - (f_gt @ up_gt) * up_gt
-    f_pred_h = f_pred - (f_pred @ up_gt) * up_gt
-    n1 = np.linalg.norm(f_gt_h)
-    n2 = np.linalg.norm(f_pred_h)
-    if n1 < 1e-9 or n2 < 1e-9:
-        azimuth = 0.0
-    else:
-        cos_az = np.clip(float(f_gt_h @ f_pred_h) / (n1 * n2), -1.0, 1.0)
-        azimuth = np.degrees(np.arccos(cos_az))
-        azimuth = azimuth % symmetric_mod
-        azimuth = min(azimuth, symmetric_mod - azimuth)
-    return azimuth, polar
+def compute_viewpoint(box_vertices9):
+    """(azimuth°, polar°) of the camera→box-centroid ray in box coordinates
+    (vendor Evaluator.compute_viewpoint/compute_ray: the camera sits at the
+    origin of the camera frame; the ray to the box center, expressed in the
+    box frame, gives spherical viewpoint angles θ = atan2(z, x),
+    φ = atan2(y, hypot(x, z)), range (−180, 180])."""
+    rot, center, _scale = fit_box(np.asarray(box_vertices9, np.float64))
+    x, y, z = rot.T @ center            # camera ray in box coordinates
+    theta = np.degrees(np.arctan2(z, x))
+    phi = np.degrees(np.arctan2(y, np.hypot(x, z)))
+    return float(theta), float(phi)
 
 
-def _kp_iou_2d(kp_a, kp_b):
+def viewpoint_errors(box_pred9, box_gt9):
+    """(azimuth_err°, polar_err°) between predicted and GT viewpoints
+    (vendor Evaluator.evaluate_viewpoint: absolute angle differences,
+    azimuth wrapped to [0, 180])."""
+    az_p, pol_p = compute_viewpoint(box_pred9)
+    az_g, pol_g = compute_viewpoint(box_gt9)
+    azimuth = abs(az_p - az_g)
+    if azimuth > 180.0:
+        azimuth = 360.0 - azimuth
+    return azimuth, abs(pol_p - pol_g)
+
+
+def is_visible(point_2d):
+    """Vendor Evaluator._is_visible: projected center inside the frame."""
+    return 0.0 < point_2d[0] < 1.0 and 0.0 < point_2d[1] < 1.0
+
+
+def iou_2d_extents(kp_a, kp_b):
     """Axis-aligned IoU of the 2D extents of two keypoint sets."""
+    kp_a, kp_b = np.asarray(kp_a), np.asarray(kp_b)
     a0, a1 = kp_a.min(0), kp_a.max(0)
     b0, b1 = kp_b.min(0), kp_b.max(0)
     lt = np.maximum(a0, b0)
     rb = np.minimum(a1, b1)
     inter = np.prod(np.clip(rb - lt, 0, None))
-    union = (np.prod(a1 - a0) + np.prod(b1 - b0) - inter)
-    return inter / union if union > 0 else 0.0
+    union = np.prod(a1 - a0) + np.prod(b1 - b0) - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def match_box(pred_kp_2d, gt_kp_sets_2d, visibilities, vis_thresh=0.1,
+              matching_iou=0.5):
+    """Best GT instance for a predicted 2D keypoint set, or −1.
+
+    Vendor Evaluator.match_box reconstruction: highest axis-aligned
+    2D-extent IoU wins; the match is rejected (−1 → max-error penalty in
+    the caller, reference :154-160) when the best IoU is below the matching
+    threshold or the matched instance fails the visibility threshold."""
+    index, best = -1, -1.0
+    for i, gt in enumerate(gt_kp_sets_2d):
+        v = iou_2d_extents(pred_kp_2d, gt)
+        if v > best:
+            index, best = i, v
+    if index < 0 or best < matching_iou or visibilities[index] < vis_thresh:
+        return -1
+    return index
 
 
 class ObjectronProtocolEvaluator:
     """Accumulates the official metric suite for one category."""
 
-    def __init__(self, height=640, width=480):
-        self.height = height
-        self.width = width
+    def __init__(self):
         self._ap_iou = AveragePrecision()
         self._ap_pixel = AveragePrecision()
         self._ap_azimuth = AveragePrecision()
@@ -159,66 +228,87 @@ class ObjectronProtocolEvaluator:
         self._total_gt = 0
         self._sum_iou = 0.0
         self._sum_pixel = 0.0
+        self._sum_azimuth = 0.0
+        self._sum_polar = 0.0
 
     def evaluate_example(self, pred_kp_sets_2d, pred_kp_sets_3d,
                          gt_kp_sets_2d, gt_kp_sets_3d, plane=None,
-                         match_iou=0.5):
+                         visibilities=None, vis_thresh=0.1):
         """pred/gt: lists of ([9,2] normalized 2D, [9,3] 3D) keypoint sets.
 
-        Matches each GT to the best prediction by 2D-extent IoU and records
-        every metric accumulator (one HitMiss per GT instance, missing
-        predictions count as misses everywhere, like the vendor loop)."""
-        self._total_gt += len(gt_kp_sets_2d)
-        used = set()
-        for gt2d, gt3d in zip(gt_kp_sets_2d, gt_kp_sets_3d):
-            hm_iou = HitMiss(self._iou_thresholds, True)
-            hm_pixel = HitMiss(self._pixel_thresholds, False)
-            hm_az = HitMiss(self._azimuth_thresholds, False)
-            hm_pol = HitMiss(self._polar_thresholds, False)
-            hm_add = HitMiss(self._add_thresholds, False)
-            hm_adds = HitMiss(self._add_thresholds, False)
+        Vendor-exact loop structure (reference objectron_eval.py:116-175):
+        skip the example when no GT instance is visible (vis > thresh,
+        projected center in frame, center z < 0); iterate *predictions*,
+        match each to the nearest visible GT (multiple predictions may hit
+        the same GT — no dedup, like the vendor); unmatched predictions are
+        penalized with the max-error sentinels; one HitMiss per metric per
+        *example*; AP accumulators are appended with ``len(instances)``
+        (ALL annotated instances, not just visible ones)."""
+        instances = [np.asarray(g, np.float64) for g in gt_kp_sets_2d]
+        instances_3d = [np.asarray(g, np.float64) for g in gt_kp_sets_3d]
+        if visibilities is None:
+            visibilities = np.ones(len(instances))
+        self._total_gt += len(instances)
 
-            best, best_iou2d = None, match_iou
-            for i, p2d in enumerate(pred_kp_sets_2d):
-                if i in used:
-                    continue
-                v = _kp_iou_2d(np.asarray(p2d), np.asarray(gt2d))
-                if v >= best_iou2d:
-                    best, best_iou2d = i, v
-            if best is not None:
-                used.add(best)
-                p2d = np.asarray(pred_kp_sets_2d[best])
-                p3d = np.asarray(pred_kp_sets_3d[best], np.float64)
-                g3d = np.asarray(gt3d, np.float64)
+        num_visible = sum(
+            1 for inst, inst3d, v in
+            zip(instances, instances_3d, visibilities)
+            if v > vis_thresh and is_visible(inst[0]) and inst3d[0, 2] < 0)
+        if num_visible == 0:
+            return    # vendor: "We don't have negative examples" (:128-129)
+
+        hm_iou = HitMiss(self._iou_thresholds)
+        hm_pixel = HitMiss(self._pixel_thresholds)
+        hm_az = HitMiss(self._azimuth_thresholds)
+        hm_pol = HitMiss(self._polar_thresholds)
+        hm_add = HitMiss(self._add_thresholds)
+        hm_adds = HitMiss(self._add_thresholds)
+
+        num_matched = 0
+        for p2d, p3d in zip(pred_kp_sets_2d, pred_kp_sets_3d):
+            p2d = np.asarray(p2d, np.float64)
+            p3d = np.asarray(p3d, np.float64)
+            index = match_box(p2d, instances, visibilities, vis_thresh)
+            if index >= 0:
+                num_matched += 1
+                g2d, g3d = instances[index], instances_3d[index]
+                # vendor evaluate_2d: mean normalized distance over the 8
+                # vertices (keypoint 0 = center excluded)
+                pixel = float(np.mean(
+                    np.linalg.norm(p2d[1:] - g2d[1:], axis=-1)))
                 if plane is not None:
-                    scale = compute_scale(p3d, plane)
-                    p3d = p3d * scale
+                    p3d = p3d * compute_scale(p3d, plane)
+                azimuth, polar = viewpoint_errors(p3d, g3d)
                 iou = float(iou_oriented_boxes(jnp.asarray(p3d),
                                                jnp.asarray(g3d)))
-                pixel = float(np.mean(np.linalg.norm(
-                    (p2d - np.asarray(gt2d)) *
-                    np.asarray([self.width, self.height]), axis=-1)))
-                rot_p, _, _ = fit_box(p3d)
-                rot_g, _, _ = fit_box(g3d)
-                azimuth, polar = rotation_errors(rot_g, rot_p)
                 add = float(np.mean(np.linalg.norm(p3d - g3d, axis=-1)))
                 pair = np.linalg.norm(p3d[:, None] - g3d[None, :], axis=-1)
                 adds = float(np.mean(pair.min(axis=1)))
-                hm_iou.record_hit_miss(iou)
-                hm_pixel.record_hit_miss(pixel)
-                hm_az.record_hit_miss(azimuth)
-                hm_pol.record_hit_miss(polar)
-                hm_add.record_hit_miss(add)
-                hm_adds.record_hit_miss(adds)
-                self._matched += 1
                 self._sum_iou += iou
                 self._sum_pixel += pixel
-            self._ap_iou.append(hm_iou, 1)
-            self._ap_pixel.append(hm_pixel, 1)
-            self._ap_azimuth.append(hm_az, 1)
-            self._ap_polar.append(hm_pol, 1)
-            self._ap_add.append(hm_add, 1)
-            self._ap_adds.append(hm_adds, 1)
+                self._sum_azimuth += azimuth
+                self._sum_polar += polar
+            else:
+                pixel = MAX_PIXEL_ERROR
+                azimuth = MAX_AZIMUTH_ERROR
+                polar = MAX_POLAR_ERROR
+                iou = 0.0
+                add = adds = MAX_DISTANCE
+            hm_iou.record_hit_miss(iou)
+            hm_pixel.record_hit_miss(pixel, greater=False)
+            hm_az.record_hit_miss(azimuth, greater=False)
+            hm_pol.record_hit_miss(polar, greater=False)
+            hm_add.record_hit_miss(add, greater=False)
+            hm_adds.record_hit_miss(adds, greater=False)
+
+        n_inst = len(instances)
+        self._ap_iou.append(hm_iou, n_inst)
+        self._ap_pixel.append(hm_pixel, n_inst)
+        self._ap_azimuth.append(hm_az, n_inst)
+        self._ap_polar.append(hm_pol, n_inst)
+        self._ap_add.append(hm_add, n_inst)
+        self._ap_adds.append(hm_adds, n_inst)
+        self._matched += num_matched
 
     def finalize(self):
         for ap in (self._ap_iou, self._ap_pixel, self._ap_azimuth,
@@ -226,26 +316,57 @@ class ObjectronProtocolEvaluator:
             ap.compute_ap_curve()
 
     def write_report(self, category, stream=None):
+        """Vendor report format (reference objectron_eval.py:179-237):
+        mean errors normalized by the matched count, then per metric a
+        threshold line and an AP line.  The pixel/azimuth/polar threshold
+        *display* is scaled by 0.1 exactly like the reference (:211, :217,
+        :223) — a vendor quirk preserved for byte-comparable reports."""
         import sys
         stream = stream or sys.stdout
 
-        def fmt(name, thresholds, ap):
-            stream.write(f'   {name}: ')
-            stream.write(', '.join(f'{t:.2f}:{v:.3f}' for t, v in
-                                   zip(thresholds, ap.aps)))
+        def safe_div(a, b):
+            return a / b if b else 0.0
+
+        def report_array(label, array):
+            stream.write(label)
+            for val in array:
+                stream.write('{:.4f},\t'.format(val))
             stream.write('\n')
 
-        stream.write(f'Report for category {category}\n')
-        n = max(self._matched, 1)
-        stream.write(f'  matched {self._matched}/{self._total_gt} instances\n')
-        stream.write(f'  Mean 3D IoU: {self._sum_iou / n:.4f}\n')
-        stream.write(f'  Mean 2D pixel error: {self._sum_pixel / n:.4f}\n')
-        fmt('AP @ 3D IoU', self._iou_thresholds, self._ap_iou)
-        fmt('AP @ 2D pixel', self._pixel_thresholds, self._ap_pixel)
-        fmt('AP @ azimuth', self._azimuth_thresholds, self._ap_azimuth)
-        fmt('AP @ polar', self._polar_thresholds, self._ap_polar)
-        fmt('AP @ ADD', self._add_thresholds, self._ap_add)
-        fmt('AP @ ADDS', self._add_thresholds, self._ap_adds)
+        def thresh_line(label, thresholds, display_scale=1.0):
+            stream.write(label)
+            for t in thresholds:
+                stream.write('{:.4f},\t'.format(t * display_scale))
+            stream.write('\n')
+
+        stream.write(f'Report for category {category} '
+                     f'(matched {self._matched}/{self._total_gt})\n')
+        stream.write('Mean Error 2D: {}\n'.format(
+            safe_div(self._sum_pixel, self._matched)))
+        stream.write('Mean 3D IoU: {}\n'.format(
+            safe_div(self._sum_iou, self._matched)))
+        stream.write('Mean Azimuth Error: {}\n'.format(
+            safe_div(self._sum_azimuth, self._matched)))
+        stream.write('Mean Polar Error: {}\n'.format(
+            safe_div(self._sum_polar, self._matched)))
+        stream.write('\n')
+        thresh_line('IoU Thresholds: ', self._iou_thresholds)
+        report_array('AP @3D IoU    : ', self._ap_iou.aps)
+        stream.write('\n')
+        thresh_line('2D Thresholds : ', self._pixel_thresholds, 0.1)
+        report_array('AP @2D Pixel  : ', self._ap_pixel.aps)
+        stream.write('\n')
+        thresh_line('Azimuth Thresh: ', self._azimuth_thresholds, 0.1)
+        report_array('AP @Azimuth   : ', self._ap_azimuth.aps)
+        stream.write('\n')
+        thresh_line('Polar Thresh  : ', self._polar_thresholds, 0.1)
+        report_array('AP @Polar     : ', self._ap_polar.aps)
+        stream.write('\n')
+        thresh_line('ADD Thresh    : ', self._add_thresholds)
+        report_array('AP @ADD       : ', self._ap_add.aps)
+        stream.write('\n')
+        thresh_line('ADDS Thresh   : ', self._add_thresholds)
+        report_array('AP @ADDS      : ', self._ap_adds.aps)
 
 
 # --- TFRecord + tf.train.Example parsing (no TensorFlow) -------------------
