@@ -124,12 +124,27 @@ def measure_tpu(n_iters=50, server_batch=16):
         engine.run_async(frame)
     engine.wait_and_grab()
     host_fps = (n_iters + 1) / (time.perf_counter() - start)
-    return server_fps, streaming_fps, host_fps
+
+    # host-downscale mode: 720p → 360p on host (cv2) before upload — 4×
+    # fewer tunnel bytes; detector input is 300² anyway and the crops
+    # tolerate 360p (VERDICT r1 item 8)
+    engine.cfg.host_downscale = 2
+    engine.run_async(frame)            # compiles the 360p program
+    engine.wait_and_grab()
+    engine.run_async(frame)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        engine.wait_and_grab()
+        engine.run_async(frame)
+    engine.wait_and_grab()
+    host_ds_fps = (n_iters + 1) / (time.perf_counter() - start)
+    engine.cfg.host_downscale = 1
+    return server_fps, streaming_fps, host_fps, host_ds_fps
 
 
 def main():
     baseline = get_baseline()
-    server_fps, streaming_fps, host_fps = measure_tpu()
+    server_fps, streaming_fps, host_fps, host_ds_fps = measure_tpu()
     base_fps = baseline['torch_cpu_two_stage_fps']
     print(json.dumps({
         'metric': 'two-stage pipeline frames/sec (720p, SSD300 + 3D regressor, batch-16 serving, device-resident input)',
@@ -138,6 +153,7 @@ def main():
         'vs_baseline': round(server_fps / base_fps, 2),
         'streaming_single_frame_fps': round(streaming_fps, 2),
         'host_included_fps_via_41MBps_tunnel': round(host_fps, 2),
+        'host_included_downscale2_fps': round(host_ds_fps, 2),
         'torch_cpu_baseline_fps': round(base_fps, 3),
     }))
 

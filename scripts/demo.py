@@ -33,7 +33,7 @@ from tpudet3d.utils import draw_kp, latest_snapshot, resume_from
 
 
 def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
-                 det_conf=0.7, max_detections=8):
+                 det_conf=0.7, max_detections=8, host_downscale=1):
     import jax.numpy as jnp
     if reg_config_path:
         cfg = read_py_config(reg_config_path)
@@ -72,7 +72,8 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
 
     return TwoStageEngine(detector, det_vars, regressor, reg_vars,
                           EngineConfig(det_conf=det_conf,
-                                       max_detections=max_detections))
+                                       max_detections=max_detections,
+                                       host_downscale=host_downscale))
 
 
 def draw_frame(frame, result, tracker):
@@ -147,6 +148,10 @@ def main():
     parser.add_argument('--benchmark', action='store_true',
                         help='headless throughput mode (no imshow)')
     parser.add_argument('--max_frames', type=int, default=0)
+    parser.add_argument('--host_downscale', type=int, default=1,
+                        help='downscale frames on host before upload '
+                             '(cuts H2D bytes by factor^2; boxes are '
+                             'rescaled to source pixels)')
     args = parser.parse_args()
 
     if args.cam_id >= 0:
@@ -159,7 +164,8 @@ def main():
     assert cap.isOpened()
 
     engine = build_engine(args.reg_config, args.det_checkpoint,
-                          args.reg_checkpoint, det_conf=args.det_tresh)
+                          args.reg_checkpoint, det_conf=args.det_tresh,
+                          host_downscale=args.host_downscale)
     tracker = IOUTracker(**asdict(IOUTrackerConfig()))
     run(cap, engine, tracker, args.write_video, tuple(args.resolution),
         benchmark=args.benchmark, max_frames=args.max_frames)
