@@ -21,7 +21,8 @@ from typing import Callable, Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ['build_augmentations', 'TRANSFORMS_REGISTRY', 'apply_pipeline']
+__all__ = ['build_augmentations', 'TRANSFORMS_REGISTRY', 'apply_pipeline',
+           'rgb_to_hsv', 'hsv_to_rgb']
 
 Sample = Tuple[jnp.ndarray, jnp.ndarray]  # (img [H,W,3] f32, kp [9,2] px)
 
@@ -92,6 +93,8 @@ def horizontal_flip(p=0.5, **_kw):
 
 def random_brightness_contrast(brightness_limit=0.2, contrast_limit=0.2,
                                p=0.5, **_kw):
+    """albumentations RandomBrightnessContrast, brightness_by_max=True
+    (its default): out = clip(img * (1 + U[-c,c]) + U[-b,b] * max_value)."""
     def fn(key, img, kp):
         k1, k2 = jax.random.split(key)
         alpha = 1.0 + jax.random.uniform(k1, minval=-contrast_limit,
@@ -100,6 +103,41 @@ def random_brightness_contrast(brightness_limit=0.2, contrast_limit=0.2,
                                   maxval=brightness_limit) * 255.0
         return jnp.clip(img * alpha + beta, 0, 255), kp
     return fn, p
+
+
+# --- exact RGB↔HSV in cv2 conventions (H in degrees [0,360), S/V in 0..255
+# for float input — matching cv2.cvtColor COLOR_RGB2HSV semantics used by
+# albumentations' shift_hsv) ------------------------------------------------
+
+def rgb_to_hsv(img):
+    """img [...,3] RGB float 0..255 → (h_deg, s, v): h∈[0,360), s,v∈0..255."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    v = jnp.max(img, axis=-1)
+    mn = jnp.min(img, axis=-1)
+    delta = v - mn
+    safe = jnp.where(delta > 0, delta, 1.0)
+    h = jnp.where(v == r, (g - b) / safe % 6.0,
+                  jnp.where(v == g, (b - r) / safe + 2.0,
+                            (r - g) / safe + 4.0)) * 60.0
+    h = jnp.where(delta > 0, h, 0.0)
+    s = jnp.where(v > 0, delta / jnp.where(v > 0, v, 1.0), 0.0) * 255.0
+    return h, s, v
+
+
+def hsv_to_rgb(h, s, v):
+    """Inverse of rgb_to_hsv (cv2 float conventions)."""
+    h60 = (h % 360.0) / 60.0
+    i = jnp.floor(h60)
+    f = h60 - i
+    s01 = s / 255.0
+    p = v * (1.0 - s01)
+    q = v * (1.0 - f * s01)
+    t = v * (1.0 - (1.0 - f) * s01)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def random_rotate(angle_limit=10.0, p=0.5, **_kw):
@@ -140,46 +178,107 @@ def rgb_shift(r_shift_limit=20, g_shift_limit=20, b_shift_limit=20, p=0.5, **_kw
     return fn, p
 
 
+_LUMA = (0.299, 0.587, 0.114)    # ITU-R 601 (torchvision rgb_to_grayscale)
+
+
+def _cj_brightness(key, img, limit):
+    f = jax.random.uniform(key, minval=max(0.0, 1.0 - limit),
+                           maxval=1.0 + limit)
+    return jnp.clip(img * f, 0, 255)
+
+
+def _cj_contrast(key, img, limit):
+    f = jax.random.uniform(key, minval=max(0.0, 1.0 - limit),
+                           maxval=1.0 + limit)
+    gray_mean = jnp.mean(img @ jnp.asarray(_LUMA, jnp.float32))
+    return jnp.clip(img * f + gray_mean * (1.0 - f), 0, 255)
+
+
+def _cj_saturation(key, img, limit):
+    f = jax.random.uniform(key, minval=max(0.0, 1.0 - limit),
+                           maxval=1.0 + limit)
+    gray = (img @ jnp.asarray(_LUMA, jnp.float32))[..., None]
+    return jnp.clip(img * f + gray * (1.0 - f), 0, 255)
+
+
+def _cj_hue(key, img, limit):
+    f = jax.random.uniform(key, minval=-limit, maxval=limit)
+    h, s, v = rgb_to_hsv(img)
+    return jnp.clip(hsv_to_rgb(h + f * 360.0, s, v), 0, 255)
+
+
 def color_jitter(brightness=0.2, contrast=0.2, saturation=0.2, hue=0.2,
                  p=0.5, **_kw):
+    """torchvision-exact ColorJitter (albumentations' ColorJitter documents
+    itself as matching torchvision): brightness/contrast/saturation blend
+    with ITU-R 601 grayscale, hue is a true HSV hue rotation by U[-hue,hue]
+    of a full cycle, and the four ops are applied in RANDOM ORDER."""
+    import itertools
+    perms = list(itertools.permutations(range(4)))
+
     def fn(key, img, kp):
-        k1, k2, k3 = jax.random.split(key, 3)
-        img = img * (1.0 + jax.random.uniform(k1, minval=-brightness,
-                                              maxval=brightness))
-        mean = jnp.mean(img, axis=(0, 1), keepdims=True)
-        img = (img - mean) * (1.0 + jax.random.uniform(
-            k2, minval=-contrast, maxval=contrast)) + mean
-        gray = jnp.mean(img, axis=2, keepdims=True)
-        img = gray + (img - gray) * (1.0 + jax.random.uniform(
-            k3, minval=-saturation, maxval=saturation))
-        return jnp.clip(img, 0, 255), kp
+        k_perm, kb, kc, ks, kh = jax.random.split(key, 5)
+        ops = [lambda im: _cj_brightness(kb, im, brightness),
+               lambda im: _cj_contrast(kc, im, contrast),
+               lambda im: _cj_saturation(ks, im, saturation),
+               lambda im: _cj_hue(kh, im, hue)]
+
+        def make_branch(perm):
+            def branch(im):
+                for j in perm:
+                    im = ops[j](im)
+                return im
+            return branch
+
+        idx = jax.random.randint(k_perm, (), 0, len(perms))
+        img = jax.lax.switch(idx, [make_branch(pm) for pm in perms], img)
+        return img, kp
     return fn, p
 
 
 def hue_saturation_value(hue_shift_limit=20, sat_shift_limit=30,
                          val_shift_limit=20, p=0.5, **_kw):
-    # approximate HSV jitter without host round-trip: value/sat on RGB stats
+    """albumentations HueSaturationValue, exact formula: RGB→HSV (cv2
+    conventions), hue + U[-h,h] in cv2 uint8-H units (1 unit = 2°) modulo
+    the hue circle, sat/val + U[-lim,lim] with clipping, HSV→RGB."""
     def fn(key, img, kp):
-        k1, k2 = jax.random.split(key)
-        val = jax.random.uniform(k1, minval=-val_shift_limit,
-                                 maxval=val_shift_limit)
-        sat = jax.random.uniform(k2, minval=-sat_shift_limit,
-                                 maxval=sat_shift_limit) / 255.0
-        gray = jnp.mean(img, axis=2, keepdims=True)
-        img = gray + (img - gray) * (1.0 + sat) + val
-        return jnp.clip(img, 0, 255), kp
+        k1, k2, k3 = jax.random.split(key, 3)
+        hue_shift = jax.random.uniform(k1, minval=-hue_shift_limit,
+                                       maxval=hue_shift_limit)
+        sat_shift = jax.random.uniform(k2, minval=-sat_shift_limit,
+                                       maxval=sat_shift_limit)
+        val_shift = jax.random.uniform(k3, minval=-val_shift_limit,
+                                       maxval=val_shift_limit)
+        h, s, v = rgb_to_hsv(img)
+        h = (h + hue_shift * 2.0) % 360.0     # cv2 uint8 H unit = 2 degrees
+        s = jnp.clip(s + sat_shift, 0, 255)
+        v = jnp.clip(v + val_shift, 0, 255)
+        return jnp.clip(hsv_to_rgb(h, s, v), 0, 255), kp
     return fn, p
 
 
+def _mean_blur(img, k):
+    """cv2.blur-exact k×k mean filter: BORDER_REFLECT_101 padding
+    (np.pad mode='reflect'), then VALID conv."""
+    pad = k // 2
+    x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode='reflect')
+    kernel = jnp.full((1, 1, k, k), 1.0 / (k * k), x.dtype)
+    y = jax.lax.conv_general_dilated(x.transpose(2, 0, 1)[:, None], kernel,
+                                     (1, 1), 'VALID')
+    return y[:, 0].transpose(1, 2, 0)
+
+
 def blur(blur_limit=5, p=0.5, **_kw):
-    k = int(blur_limit) | 1  # static odd kernel (albumentations samples ≤ limit)
+    """albumentations Blur: kernel size sampled from the odd values in
+    [3, blur_limit], cv2.blur (mean filter, reflect-101 borders)."""
+    sizes = list(range(3, int(blur_limit) + 1, 2)) or [3]
 
     def fn(key, img, kp):
-        kernel = jnp.ones((k, k, 1, 1), img.dtype) / (k * k)
-        x = img.transpose(2, 0, 1)[:, None]                     # [C,1,H,W]
-        y = jax.lax.conv_general_dilated(
-            x, kernel.transpose(3, 2, 0, 1), (1, 1), 'SAME')
-        return y[:, 0].transpose(1, 2, 0), kp
+        idx = jax.random.randint(key, (), 0, len(sizes))
+        img = jax.lax.switch(
+            idx, [(lambda k_: lambda im: _mean_blur(im, k_))(k) for k in sizes],
+            img)
+        return img, kp
     return fn, p
 
 
