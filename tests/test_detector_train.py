@@ -73,3 +73,46 @@ class TestDetectorTrain:
         assert abs(float(lr(0)) - 0.05 / 3) < 1e-6
         assert abs(float(lr(100)) - 0.05) < 1e-6
         assert abs(float(lr(250)) - 0.005) < 1e-6  # past milestone 2*100
+
+    def test_sharded_step_8_devices(self, devices):
+        """Data-parallel SSD train step over the full 8-device mesh
+        (reference capability: NCCL DDP in the external mmdet fork,
+        configs/detection/mnv2_ssd_300_2_heads.py:165)."""
+        from tpudet3d.parallel import make_mesh, replicate, shard_batch
+        from tpudet3d.detect.train import make_detector_train_step
+
+        size = 64
+        mesh = make_mesh(devices)
+        model = SSDDetector(num_classes=9, width_mult=0.5)
+        opt = optax.sgd(0.01, momentum=0.9)
+        state = create_detector_state(model, opt, jax.random.PRNGKey(0),
+                                      input_size=size, batch=2)
+        state = replicate(state, mesh)
+        step = make_detector_train_step(model, opt, use_balance=True,
+                                        input_size=size)
+
+        batch = 16
+        ds = SyntheticDetection(length=batch, input_size=size, max_boxes=4)
+        items = [ds[i] for i in range(batch)]
+        arrays = [shard_batch(np.stack([it[k] for it in items]), mesh)
+                  for k in range(4)]
+        # every input sharded over the data axis
+        assert all(a.sharding.spec[0] == 'data' for a in arrays)
+
+        prev = jax.device_get(state.params)
+        state, metrics = step(state, *arrays)
+        m = np.asarray(jax.device_get(metrics))
+        assert np.all(np.isfinite(m)), m
+        # params moved and stayed replicated
+        new = jax.device_get(state.params)
+        moved = any(not np.allclose(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(prev), jax.tree_util.tree_leaves(new)))
+        assert moved
+        flat = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda x: x.sharding.is_fully_replicated,
+                                   state.params))
+        assert all(flat)
+
+        # second step reuses the compiled program and keeps improving state
+        state, metrics2 = step(state, *arrays)
+        assert np.all(np.isfinite(np.asarray(jax.device_get(metrics2))))
