@@ -1,0 +1,40 @@
+# 40-epoch schedule validation on HARD synthetic scenes (VERDICT r1 item 9):
+# multi-object, occlusion, clutter, anchor-matched scale range.  Same
+# schedule shape as the reference mmdet config (SGD 0.05, warmup, steps)
+# with warmup scaled to this dataset's steps/epoch (the reference's 1200
+# iters assume real-Objectron epoch lengths).
+input_size = 300
+
+data = dict(
+    root='',
+    train_batch_size=64,
+    val_batch_size=64,
+    max_epochs=40,
+    num_workers=4,
+    min_size=17,
+    max_boxes=16,
+    synthetic=True,
+    synthetic_hard=True,
+    synthetic_length=4096,
+)
+
+model = dict(name='mnv2_ssd_300', num_classes=9, width_mult=1.0, bf16=True)
+
+data_parallel = dict(use_parallel=True, num_devices=None)
+
+optim = dict(name='sgd', lr=0.05, momentum=0.9, wd=5e-4)
+
+scheduler = dict(policy='step', warmup_iters=300, warmup_ratio=1.0 / 3,
+                 steps=[25, 30, 35], gamma=0.1)
+
+train_cfg = dict(pos_iou_thr=0.4, neg_iou_thr=0.4, neg_pos_ratio=3,
+                 smoothl1_beta=1.0, loss_balancing=False,
+                 uniform_neg_weight=0.1)
+
+test_cfg = dict(nms_iou=0.45, score_thr=0.02, max_per_img=200)
+
+augment = dict(flip_p=0.5, rot_p=0.5)
+
+output_dir = './output/detector_hard'
+
+utils = dict(random_seeds=5, save_freq=5, print_freq=20)

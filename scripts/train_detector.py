@@ -51,12 +51,19 @@ def main():
                         default='./configs/detection/mnv2_ssd_300.py')
     parser.add_argument('--root', type=str, default='')
     parser.add_argument('--output_dir', type=str, default='')
+    parser.add_argument('--loss_balancing', choices=['on', 'off'], default='',
+                        help='override cfg.train_cfg.loss_balancing')
+    parser.add_argument('--max_epochs', type=int, default=0)
     args = parser.parse_args()
     cfg = read_py_config(args.config)
     if args.root:
         cfg.data.root = args.root
     if args.output_dir:
         cfg.output_dir = args.output_dir
+    if args.loss_balancing:
+        cfg.train_cfg.loss_balancing = args.loss_balancing == 'on'
+    if args.max_epochs:
+        cfg.data.max_epochs = args.max_epochs
     mkdir_if_missing(cfg.output_dir)
     sys.stdout = Logger(osp.join(cfg.output_dir,
                                  'det_train.log' + time.strftime('-%Y-%m-%d-%H-%M-%S')))
@@ -83,7 +90,8 @@ def main():
     if cfg.data.synthetic:
         ds = SyntheticDetection(length=int(cfg.data.synthetic_length),
                                 input_size=int(cfg.input_size),
-                                max_boxes=int(cfg.data.max_boxes))
+                                max_boxes=int(cfg.data.max_boxes),
+                                hard=bool(cfg.data.get('synthetic_hard')))
     else:
         ds = DetectionDataset(cfg.data.root, 'train',
                               input_size=int(cfg.input_size),
@@ -125,7 +133,8 @@ def main():
     if cfg.data.synthetic:
         val_ds = SyntheticDetection(length=max(int(cfg.data.synthetic_length) // 4, 8),
                                     input_size=int(cfg.input_size),
-                                    max_boxes=int(cfg.data.max_boxes), seed=99)
+                                    max_boxes=int(cfg.data.max_boxes), seed=99,
+                                    hard=bool(cfg.data.get('synthetic_hard')))
     else:
         try:
             val_ds = DetectionDataset(cfg.data.root, 'test',

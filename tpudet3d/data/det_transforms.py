@@ -4,9 +4,10 @@ Covers the core of the reference detector pipeline
 (/root/reference/configs/detection/mnv2_ssd_300_2_heads.py:66-103):
 PhotoMetricDistortion (brightness ±32, contrast/saturation 0.5-1.5,
 hue ±18 approximated channel-wise), RandomRotate90and270 (p=0.5),
-RandomFlip (p=0.5), Normalize (x/255).  Expand + MinIoURandomCrop remain a
-host-side TODO (dynamic canvas sizes don't fit static shapes; the standard
-TPU recipe is a scale-jitter crop, planned for the data round).
+RandomFlip (p=0.5), Normalize (x/255).  Expand + MinIoURandomCrop run on
+the HOST side in the loader threads (data/det_host_transforms.py) — their
+dynamic canvas sizes don't fit XLA static shapes, so they execute before
+batching, like the reference's dataloader-worker augs.
 """
 
 import jax

@@ -89,12 +89,13 @@ class SyntheticDetection:
     without the converted dataset."""
 
     def __init__(self, length=512, input_size=300, max_boxes=MAX_BOXES,
-                 seed=11, num_classes=len(DETECTOR_CLASSES)):
+                 seed=11, num_classes=len(DETECTOR_CLASSES), hard=False):
         self.length = length
         self.input_size = input_size
         self.max_boxes = max_boxes
         self.seed = seed
         self.num_classes = num_classes
+        self.hard = hard
 
     def __len__(self):
         return self.length
@@ -105,10 +106,7 @@ class SyntheticDetection:
          [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
          [128, 128, 0]], np.uint8)
 
-    def __getitem__(self, idx):
-        rng = np.random.RandomState(self.seed * 9176 + idx)
-        s = self.input_size
-        img = rng.randint(0, 64, (s, s, 3)).astype(np.uint8)   # dim noise bg
+    def _draw_easy(self, rng, img, s):
         n = rng.randint(1, 4)
         boxes, labels = [], []
         for _ in range(n):
@@ -123,6 +121,58 @@ class SyntheticDetection:
                 color = tuple(int(c) for c in self._PALETTE[label])
                 cv.rectangle(img, (int(x0), int(y0)),
                              (int(x0 + w), int(y0 + h)), color, -1)
+        return boxes, labels
+
+    def _draw_hard(self, rng, img, s):
+        """Harder scenes for schedule validation (VERDICT r1 item 9):
+        2-6 objects, box scales matched to the clustered-anchor range
+        (widths 0.23-0.80, heights 0.23-0.83 of the input — detect/
+        anchors.py), overlap/occlusion in z-order, textured objects
+        (border + interior pattern), unlabeled background clutter."""
+        # unlabeled clutter the detector must learn to ignore
+        for _ in range(rng.randint(2, 6)):
+            c = rng.randint(90, 150)
+            center = (rng.randint(0, s), rng.randint(0, s))
+            cv.circle(img, center, rng.randint(8, 40),
+                      (int(c), int(c), int(c)), -1)
+        n = rng.randint(2, 7)
+        boxes, labels = [], []
+        for _ in range(n):
+            w = rng.uniform(0.23, 0.80) * s
+            h = np.clip(w * rng.uniform(0.65, 1.55), 0.23 * s, 0.83 * s)
+            if boxes and rng.rand() < 0.5:
+                # occlusion: place near an existing object
+                bx = boxes[rng.randint(0, len(boxes))]
+                cx = np.clip((bx[0] + bx[2]) / 2 + rng.uniform(-0.3, 0.3) * s,
+                             w / 2, s - w / 2)
+                cy = np.clip((bx[1] + bx[3]) / 2 + rng.uniform(-0.3, 0.3) * s,
+                             h / 2, s - h / 2)
+            else:
+                cx = rng.uniform(w / 2, s - w / 2)
+                cy = rng.uniform(h / 2, s - h / 2)
+            x0, y0 = cx - w / 2, cy - h / 2
+            label = rng.randint(0, self.num_classes)
+            boxes.append([x0, y0, x0 + w, y0 + h])
+            labels.append(label)
+            color = tuple(int(c) for c in self._PALETTE[label])
+            dark = tuple(int(c * 0.5) for c in self._PALETTE[label])
+            p0, p1 = (int(x0), int(y0)), (int(x0 + w), int(y0 + h))
+            cv.rectangle(img, p0, p1, color, -1)
+            cv.rectangle(img, p0, p1, dark, 2)
+            # interior pattern: diagonal + small filled circle
+            cv.line(img, p0, p1, dark, 2)
+            cv.circle(img, (int(cx), int(cy)), max(int(min(w, h) * 0.12), 2),
+                      dark, -1)
+        return boxes, labels
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed * 9176 + idx)
+        s = self.input_size
+        img = rng.randint(0, 64, (s, s, 3)).astype(np.uint8)   # dim noise bg
+        if self.hard and _HAS_CV2:
+            boxes, labels = self._draw_hard(rng, img, s)
+        else:
+            boxes, labels = self._draw_easy(rng, img, s)
         return (img,) + _pad_boxes(np.asarray(boxes, np.float32),
                                    np.asarray(labels, np.int32),
                                    self.max_boxes)
