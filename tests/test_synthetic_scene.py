@@ -1,0 +1,123 @@
+"""Synthetic-scene generator: exact-geometry guarantees.
+
+The whole point of SyntheticScene is that the vendor protocol is
+*meaningful* on it: portrait-convention 2D keypoints must lift (EPnP,
+portrait=True) back to the exact 3D box after ground-plane scale recovery.
+These tests pin that chain end to end with no model in the loop.
+"""
+
+import numpy as np
+import pytest
+
+from tpudet3d.data.synthetic_scene import (SyntheticScene, SceneDetection,
+                                           SceneCrops, write_eval_shards,
+                                           REGRESSOR_TO_DETECTOR_CLS)
+from tpudet3d.core import DETECTOR_TO_REGRESSOR_CLS
+from tpudet3d.ops.geometry import lift_2d_batched
+
+
+def scene():
+    return SyntheticScene(length=8, frame_hw=(240, 320), seed=5,
+                          min_objects=1, max_objects=3)
+
+
+class TestGeometry:
+
+    def test_lift_recovers_3d_up_to_scale(self):
+        s = scene().sample(0)
+        lifted = np.asarray(lift_2d_batched(s['kps2d'], portrait=True),
+                            np.float64)
+        gt = s['kps3d'].astype(np.float64)
+        for lft, g in zip(lifted, gt):
+            # same box up to one positive scalar
+            ratio = g / np.where(np.abs(lft) < 1e-9, 1e-9, lft)
+            med = np.median(ratio)
+            assert med > 0
+            assert np.allclose(lft * med, g, atol=5e-3), (lft * med - g)
+
+    def test_plane_scale_recovery_is_exact(self):
+        from tpudet3d.eval.protocol import compute_scale
+        s = scene().sample(1)
+        lifted = np.asarray(lift_2d_batched(s['kps2d'], portrait=True),
+                            np.float64)
+        for lft, g in zip(lifted, s['kps3d'].astype(np.float64)):
+            scale = compute_scale(lft, s['plane'])
+            assert np.allclose(lft * scale, g, atol=1e-2), \
+                np.abs(lft * scale - g).max()
+
+    def test_bottom_face_on_plane(self):
+        s = scene().sample(2)
+        center, normal = s['plane']
+        d0 = float(np.dot(center, normal))
+        for box in s['kps3d']:
+            dots = np.sort(box[1:] @ normal)
+            assert np.allclose(dots[:4], d0, atol=1e-5)
+
+    def test_gt_as_prediction_gives_perfect_ap(self):
+        """Feeding GT keypoints as predictions through the full protocol
+        (lift + plane scale + 3D IoU/ADD/viewpoint) must produce AP ≈ 1 in
+        every non-degenerate threshold bin."""
+        from tpudet3d.eval.protocol import ObjectronProtocolEvaluator
+        ev = ObjectronProtocolEvaluator()
+        sc = scene()
+        for i in range(4):
+            s = sc.sample(i)
+            pred3d = np.asarray(lift_2d_batched(s['kps2d'], portrait=True))
+            ev.evaluate_example(
+                [k for k in s['kps2d']], [p for p in pred3d],
+                [k for k in s['kps2d']], [g for g in s['kps3d']],
+                plane=s['plane'], visibilities=np.ones(len(s['labels'])))
+        ev.finalize()
+        # IoU bins: hit iff iou > thresh; exact recovery → IoU ≈ 1
+        assert np.all(ev._ap_iou.aps[:-1] >= 0.999), ev._ap_iou.aps
+        # error bins (≤ thresh): exact → every bin except the 0-threshold
+        for ap in (ev._ap_pixel, ev._ap_add, ev._ap_adds, ev._ap_azimuth,
+                   ev._ap_polar):
+            assert np.all(ap.aps[1:] >= 0.999), ap.aps
+        assert ev._sum_iou / ev._matched > 0.98
+        assert ev._sum_pixel / ev._matched < 1e-4
+
+
+class TestDatasets:
+
+    def test_class_mapping_roundtrip(self):
+        for det_id, reg_id in enumerate(DETECTOR_TO_REGRESSOR_CLS):
+            assert REGRESSOR_TO_DETECTOR_CLS[reg_id] == det_id
+
+    def test_scene_detection_items(self):
+        ds = SceneDetection(scene(), input_size=300)
+        img, boxes, labels, valid = ds[0]
+        assert img.shape == (300, 300, 3) and img.dtype == np.uint8
+        n = int(valid.sum())
+        assert n >= 1
+        b = boxes[:n]
+        assert np.all(b[:, 2:] > b[:, :2])
+        assert np.all(b >= 0) and np.all(b <= 300)
+        assert np.all(labels[:n] >= 0) and np.all(labels[:n] < 9)
+
+    def test_scene_crops_items(self):
+        ds = SceneCrops(scene(), resize=(128, 128))
+        img, kps, cat = ds[3]
+        assert img.shape == (128, 128, 3)
+        assert kps.shape == (9, 2)
+        assert np.all(kps >= -1e-3) and np.all(kps <= 128 + 1e-3)
+        assert 0 <= cat < 9
+
+    def test_eval_shards_readable(self, tmp_path):
+        from tpudet3d.eval.protocol import read_tfrecord, parse_example
+        write_eval_shards(str(tmp_path), ['cup'], per_class=3,
+                          frame_hw=(120, 160), seed=9)
+        shard = tmp_path / 'cup' / 'shard-00000'
+        payloads = list(read_tfrecord(str(shard)))
+        assert len(payloads) == 3
+        feats = parse_example(payloads[0])
+        n = feats['instance_num']['ints'][0]
+        assert n >= 1
+        assert len(feats['point_2d']['floats']) == n * 27
+        assert len(feats['point_3d']['floats']) == n * 27
+        assert len(feats['plane/normal']['floats']) == 3
+        cv = pytest.importorskip('cv2')
+        img = cv.imdecode(
+            np.frombuffer(feats['image/encoded']['bytes'][0], np.uint8),
+            cv.IMREAD_COLOR)
+        assert img.shape == (120, 160, 3)
