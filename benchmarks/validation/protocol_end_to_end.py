@@ -1,0 +1,103 @@
+"""End-to-end protocol validation with a TRAINED two-stage system.
+
+Chains the four public CLI surfaces on coherent synthetic scenes whose 3D
+geometry is exact (tpudet3d/data/synthetic_scene.py):
+
+  1. scripts/train_detector.py  — MNv2-SSD-300 on full scene frames
+  2. scripts/main.py            — MNv3 multi-head regressor on GT-box crops
+  3. write_eval_shards          — per-class TFRecord eval shards
+  4. scripts/objectron_eval.py  — fused engine → EPnP lift → plane scale →
+                                  vendor AP report per class
+
+Because GT 2D keypoints lift to the exact 3D boxes on these scenes (see
+tests/test_synthetic_scene.py), the resulting AP@3D-IoU / AP@ADD numbers
+measure the MODEL chain, not the harness — the reference can only produce
+these on real Objectron data (scripts/objectron_eval.py), which is not
+available in this environment.
+
+Usage: python benchmarks/validation/protocol_end_to_end.py
+       [--skip_train] [--per_class 16] [--classes cup chair]
+"""
+
+import argparse
+import os.path as osp
+import re
+import subprocess
+import sys
+
+_ROOT = osp.join(osp.dirname(osp.abspath(__file__)), '..', '..')
+sys.path.insert(0, _ROOT)
+
+from tpudet3d.core import OBJECTRON_CLASSES
+
+
+def run(cmd):
+    print('>>', ' '.join(cmd), flush=True)
+    proc = subprocess.run(cmd, cwd=_ROOT)
+    if proc.returncode != 0:
+        raise SystemExit(f'step failed rc={proc.returncode}: {cmd}')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--skip_train', action='store_true',
+                    help='reuse existing snapshots')
+    ap.add_argument('--per_class', type=int, default=16)
+    ap.add_argument('--classes', type=str, nargs='+', default=['all'])
+    ap.add_argument('--det_tresh', type=float, default=0.3)
+    args = ap.parse_args()
+    classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
+               else args.classes)
+
+    det_dir = osp.join(_ROOT, 'output', 'detector_scene')
+    reg_cfg = osp.join(_ROOT, 'configs', 'scene_regressor.py')
+    if not args.skip_train:
+        run([sys.executable, 'scripts/train_detector.py',
+             '--config', 'configs/detection/mnv2_ssd_300_scene.py'])
+        run([sys.executable, 'scripts/main.py',
+             '--config', 'configs/scene_regressor.py',
+             '--output_dir', osp.join(_ROOT, 'output', 'scene_regressor')])
+
+    shard_dir = osp.join(_ROOT, 'output', 'scene_eval_shards')
+    from tpudet3d.data.synthetic_scene import write_eval_shards
+    write_eval_shards(shard_dir, classes, per_class=args.per_class,
+                      frame_hw=(480, 640), seed=77)   # held-out seed
+    print(f'wrote {args.per_class} examples/class under {shard_dir}',
+          flush=True)
+
+    from tpudet3d.utils.checkpoint import latest_snapshot
+    det_snap = latest_snapshot(det_dir)
+    assert det_snap, f'no detector snapshot under {det_dir}'
+    report_dir = osp.join(_ROOT, 'output', 'protocol_reports')
+    run([sys.executable, 'scripts/objectron_eval.py',
+         '--eval_data', shard_dir,
+         '--reg_config', reg_cfg,
+         '--det_checkpoint', det_snap,
+         '--classes', *classes,
+         '--report_dir', report_dir,
+         '--det_tresh', str(args.det_tresh)])
+
+    # summary: AP@3D-IoU>=0.5 bin (bin 10 of 21), AP@ADD<=0.1m (bin 2),
+    # mean 3D IoU / mean 2D error per class
+    print('\n=== protocol summary (trained two-stage, synthetic scenes) ===')
+    header = f'{"class":<12} {"AP@IoU0.5":>10} {"AP@ADD0.1":>10} ' \
+             f'{"mean3DIoU":>10} {"mean2Derr":>10} {"matched":>9}'
+    print(header)
+    for cls in classes:
+        path = osp.join(report_dir, f'report_{cls}.txt')
+        with open(path) as f:
+            text = f.read()
+        def arr(label, txt=text):
+            line = next(l for l in txt.splitlines() if l.startswith(label))
+            return [float(v) for v in re.findall(r'-?\d+\.\d+', line)]
+        ap_iou = arr('AP @3D IoU')[10]
+        ap_add = arr('AP @ADD')[2]
+        mean_iou = float(re.search(r'Mean 3D IoU: ([-\d.e]+)', text).group(1))
+        mean_2d = float(re.search(r'Mean Error 2D: ([-\d.e]+)', text).group(1))
+        matched = re.search(r'matched (\d+/\d+)', text).group(1)
+        print(f'{cls:<12} {ap_iou:>10.3f} {ap_add:>10.3f} '
+              f'{mean_iou:>10.3f} {mean_2d:>10.4f} {matched:>9}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,38 @@
+# Detector training on coherent synthetic scenes (exact 3D geometry,
+# tpudet3d/data/synthetic_scene.py): the stage-1 half of the end-to-end
+# protocol validation (benchmarks/validation/protocol_end_to_end.py).
+input_size = 300
+
+data = dict(
+    root='',
+    train_batch_size=64,
+    val_batch_size=64,
+    max_epochs=25,
+    num_workers=4,
+    min_size=17,
+    max_boxes=16,
+    synthetic='scene',
+    synthetic_length=3072,
+    scene_seed=23,
+)
+
+model = dict(name='mnv2_ssd_300', num_classes=9, width_mult=1.0, bf16=True)
+
+data_parallel = dict(use_parallel=True, num_devices=None)
+
+optim = dict(name='sgd', lr=0.05, momentum=0.9, wd=5e-4)
+
+scheduler = dict(policy='step', warmup_iters=300, warmup_ratio=1.0 / 3,
+                 steps=[15, 20, 23], gamma=0.1)
+
+train_cfg = dict(pos_iou_thr=0.4, neg_iou_thr=0.4, neg_pos_ratio=3,
+                 smoothl1_beta=1.0, loss_balancing=False,
+                 uniform_neg_weight=0.1)
+
+test_cfg = dict(nms_iou=0.45, score_thr=0.02, max_per_img=200)
+
+augment = dict(flip_p=0.5, rot_p=0.0, expand_crop=False)
+
+output_dir = './output/detector_scene'
+
+utils = dict(random_seeds=5, save_freq=5, print_freq=20)

@@ -87,7 +87,15 @@ def main():
                                   input_size=int(cfg.input_size))
     state = replicate(state, mesh)
 
-    if cfg.data.synthetic:
+    if cfg.data.synthetic == 'scene':
+        from tpudet3d.data.synthetic_scene import (SyntheticScene,
+                                                   SceneDetection)
+        ds = SceneDetection(
+            SyntheticScene(length=int(cfg.data.synthetic_length),
+                           seed=int(cfg.data.get('scene_seed', 23))),
+            input_size=int(cfg.input_size),
+            max_boxes=int(cfg.data.max_boxes))
+    elif cfg.data.synthetic:
         ds = SyntheticDetection(length=int(cfg.data.synthetic_length),
                                 input_size=int(cfg.input_size),
                                 max_boxes=int(cfg.data.max_boxes),
@@ -130,7 +138,15 @@ def main():
         rng=jax.random.PRNGKey(int(cfg.utils.random_seeds) + 1))
 
     # validation set (synthetic twin or the converted test split)
-    if cfg.data.synthetic:
+    if cfg.data.synthetic == 'scene':
+        from tpudet3d.data.synthetic_scene import (SyntheticScene,
+                                                   SceneDetection)
+        val_ds = SceneDetection(
+            SyntheticScene(length=max(int(cfg.data.synthetic_length) // 4, 8),
+                           seed=int(cfg.data.get('scene_seed', 23)) + 917 * 2),
+            input_size=int(cfg.input_size),
+            max_boxes=int(cfg.data.max_boxes))
+    elif cfg.data.synthetic:
         val_ds = SyntheticDetection(length=max(int(cfg.data.synthetic_length) // 4, 8),
                                     input_size=int(cfg.input_size),
                                     max_boxes=int(cfg.data.max_boxes), seed=99,

@@ -123,7 +123,20 @@ class BatchLoader:
 
 def _make_dataset(config, mode):
     resize = tuple(config.data.resize)
-    if config.data.get('synthetic', False):
+    synthetic = config.data.get('synthetic', False)
+    if synthetic == 'scene':
+        # coherent full-frame scenes (exact 3D geometry shared with the
+        # detector and the protocol eval shards) cropped per object
+        from .synthetic_scene import SyntheticScene, SceneCrops
+        length = int(config.data.get('synthetic_length', 1024))
+        if mode != 'train':
+            length = max(length // 4, 1)
+        seeds = {'train': 0, 'val': 1, 'test': 2}
+        scene = SyntheticScene(length=length,
+                               seed=int(config.data.get('scene_seed', 23))
+                               + 917 * seeds[mode])
+        return SceneCrops(scene, resize=resize, mode=mode)
+    if synthetic:
         length = int(config.data.get('synthetic_length', 1024))
         if mode != 'train':
             length = max(length // 4, 1)

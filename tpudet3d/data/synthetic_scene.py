@@ -223,13 +223,16 @@ class SceneDetection:
 class SceneCrops:
     """Regressor items over SyntheticScene: one object per index, GT-box
     ±10 px crop → resize, keypoints in resized-crop pixels (the Objectron
-    dataset crop semantics, reference objectron_main.py:98-137)."""
+    dataset crop semantics, reference objectron_main.py:98-137).  Drop-in
+    for ``Objectron``/``SyntheticObjectron``: train/val items are
+    (crop, kps, cat); test items add the original frame + crop coords."""
 
     def __init__(self, scene: SyntheticScene, resize=(224, 224),
-                 objects_per_scene=2):
+                 objects_per_scene=2, mode='train'):
         self.scene = scene
         self.resize = tuple(resize)
         self.objects_per_scene = objects_per_scene
+        self.mode = mode
 
     def __len__(self):
         return len(self.scene) * self.objects_per_scene
@@ -255,6 +258,9 @@ class SceneCrops:
         resized = cv.resize(crop_img, (tw, th),
                             interpolation=cv.INTER_LINEAR)
         out_kps = crop_kps * np.asarray([tw / cw, th / ch], np.float32)
+        if self.mode == 'test':
+            return (s['img'], resized, out_kps, int(s['labels'][k]),
+                    (x0, y0, x1, y1))
         return resized, out_kps, int(s['labels'][k])
 
 
