@@ -103,6 +103,26 @@ class TestDatasets:
         assert np.all(kps >= -1e-3) and np.all(kps <= 128 + 1e-3)
         assert 0 <= cat < 9
 
+    def test_loader_factory_scene_branch(self):
+        """cfg.data.synthetic='scene' routes build_loader to SceneCrops with
+        disjoint per-split scene seeds and the standard item contracts."""
+        from tpudet3d.core import AttrDict
+        from tpudet3d.data.loader import _make_dataset
+        cfg = AttrDict(data=dict(synthetic='scene', synthetic_length=8,
+                                 resize=(96, 96), scene_seed=3,
+                                 category_list='all'))
+        train = _make_dataset(cfg, 'train')
+        val = _make_dataset(cfg, 'val')
+        test = _make_dataset(cfg, 'test')
+        assert isinstance(train, SceneCrops)
+        assert len(train) == 16 and len(val) == 4
+        assert train.scene.seed != val.scene.seed != test.scene.seed
+        img, kps, cat = train[0]
+        assert img.shape == (96, 96, 3) and kps.shape == (9, 2)
+        frame, crop, kps, cat, coords = test[0]
+        assert frame.ndim == 3 and crop.shape == (96, 96, 3)
+        assert len(coords) == 4 and 0 <= cat < 9
+
     def test_eval_shards_readable(self, tmp_path):
         from tpudet3d.eval.protocol import read_tfrecord, parse_example
         write_eval_shards(str(tmp_path), ['cup'], per_class=3,
