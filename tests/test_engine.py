@@ -55,6 +55,29 @@ class TestEngine:
         assert set(out.keys()) == {'boxes', 'scores', 'det_labels', 'kp',
                                    'labels'}
 
+    def test_sharded_serving_matches_single_device(self):
+        """engine.shard(mesh): batch split over the 8-device data axis must
+        produce the same packed results as the unsharded engine."""
+        from tpudet3d.parallel import make_mesh
+        frames = np.random.RandomState(2).randint(
+            0, 255, (8, 180, 320, 3)).astype(np.uint8)
+        engine = tiny_engine()
+        ref = engine.infer_batch(frames)
+        engine.shard(make_mesh())
+        assert engine._mesh.size == 8
+        out = engine.infer_batch(frames)
+        assert len(out) == len(ref) == 8
+        for r, o in zip(ref, out):
+            assert r['boxes'].shape == o['boxes'].shape
+            np.testing.assert_allclose(r['boxes'], o['boxes'],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(r['kp'], o['kp'],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_array_equal(r['labels'], o['labels'])
+        # batch not divisible by mesh size must be rejected
+        with pytest.raises(AssertionError):
+            engine.infer_batch(frames[:3])
+
     def test_split_wrappers_consistent(self):
         """Detector/Regressor split API produces the same stage-1 boxes as
         the fused engine for conf=0."""
