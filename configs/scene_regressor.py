@@ -8,13 +8,13 @@ data = dict(
     resize=(224, 224),
     train_batch_size=128,
     val_batch_size=128,
-    max_epochs=30,
+    max_epochs=40,
     num_workers=4,
     category_list='all',
     normalization=dict(mean=[0.5931, 0.4690, 0.4229],
                        std=[0.2471, 0.2214, 0.2157]),
     synthetic='scene',
-    synthetic_length=2048,
+    synthetic_length=4096,
     scene_seed=23,
 )
 
@@ -27,7 +27,7 @@ optim = dict(name='adam', lr=0.001, momentum=0.9, wd=1e-4, betas=(0.9, 0.999),
              rho=0.9, alpha=0.99, nesterov=True)
 
 scheduler = dict(name='multistepLR', gamma=0.6, exp_gamma=0.975,
-                 steps=[15, 22, 27])
+                 steps=[22, 30, 36])
 
 loss = dict(names=['l1', 'add_loss', 'cross_entropy'], coeffs=([1., .1], [.2]),
             smoothl1_beta=0.2,

@@ -33,7 +33,8 @@ from tpudet3d.utils import draw_kp, latest_snapshot, resume_from
 
 
 def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
-                 det_conf=0.7, max_detections=8, host_downscale=1):
+                 det_conf=0.7, max_detections=8, host_downscale=1,
+                 crop_margin_px=10.0):
     import jax.numpy as jnp
     if reg_config_path:
         cfg = read_py_config(reg_config_path)
@@ -73,7 +74,8 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
     return TwoStageEngine(detector, det_vars, regressor, reg_vars,
                           EngineConfig(det_conf=det_conf,
                                        max_detections=max_detections,
-                                       host_downscale=host_downscale))
+                                       host_downscale=host_downscale,
+                                       crop_margin_px=crop_margin_px))
 
 
 def draw_frame(frame, result, tracker):

@@ -103,6 +103,23 @@ class TestDatasets:
         assert np.all(kps >= -1e-3) and np.all(kps <= 128 + 1e-3)
         assert 0 <= cat < 9
 
+    def test_scene_crops_margin_jitter(self):
+        """Train mode jitters the crop margin (deploy-robustness to noisy
+        detector boxes); val/test keep the reference's exact ±10 px, and
+        keypoints always stay inside the crop."""
+        train = SceneCrops(scene(), resize=(128, 128), mode='train')
+        val = SceneCrops(scene(), resize=(128, 128), mode='val')
+        # same index twice → deterministic
+        k1 = train[5][1]
+        k2 = train[5][1]
+        np.testing.assert_array_equal(k1, k2)
+        # jitter: at least one index differs from the fixed-margin crop
+        diffs = [not np.allclose(train[i][1], val[i][1]) for i in range(6)]
+        assert any(diffs)
+        for i in range(6):
+            kps = train[i][1]
+            assert np.all(kps >= -1e-3) and np.all(kps <= 128 + 1e-3)
+
     def test_loader_factory_scene_branch(self):
         """cfg.data.synthetic='scene' routes build_loader to SceneCrops with
         disjoint per-split scene seeds and the standard item contracts."""

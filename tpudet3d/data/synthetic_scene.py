@@ -247,10 +247,20 @@ class SceneCrops:
         clipped = np.stack([np.clip(kps_px[:, 0], 3, w - 3),
                             np.clip(kps_px[:, 1], 3, h - 3)],
                            axis=1).astype(np.float32)
-        x0 = int(np.clip(clipped[:, 0].min() - 10, 0, w))
-        y0 = int(np.clip(clipped[:, 1].min() - 10, 0, h))
-        x1 = int(np.clip(clipped[:, 0].max() + 10, 0, w))
-        y1 = int(np.clip(clipped[:, 1].max() + 10, 0, h))
+        # Train mode jitters the per-side crop margin around the reference's
+        # fixed 10 px (objectron_main.py:107-110) so deployment crops taken
+        # from NOISY detector boxes stay in-distribution; val/test keep the
+        # exact reference semantics for metric comparability.
+        if self.mode == 'train':
+            rng = np.random.RandomState((self.scene.seed * 1000003 + idx)
+                                        & 0x7fffffff)
+            ml, mt, mr, mb = rng.uniform(2.0, 18.0, size=4)
+        else:
+            ml = mt = mr = mb = 10.0
+        x0 = int(np.clip(clipped[:, 0].min() - ml, 0, w))
+        y0 = int(np.clip(clipped[:, 1].min() - mt, 0, h))
+        x1 = int(np.clip(clipped[:, 0].max() + mr, 0, w))
+        y1 = int(np.clip(clipped[:, 1].max() + mb, 0, h))
         crop_img = s['img'][y0:y1, x0:x1]
         crop_kps = clipped - np.asarray([x0, y0], np.float32)
         th, tw = self.resize

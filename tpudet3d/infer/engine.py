@@ -39,6 +39,11 @@ class EngineConfig:
     score_thr: float = 0.02
     crop_size: Tuple[int, int] = (224, 224)
     expand_ratio: Tuple[float, float] = (1.0, 1.0)
+    # Fixed pixel margin added around the detector box before cropping.
+    # The regressor trains on GT-extent ±10 px crops (reference
+    # objectron_main.py:107-110); margin 10 puts deploy crops in the same
+    # distribution as training crops instead of systematically tighter.
+    crop_margin_px: float = 0.0
     input_is_bgr: bool = True
     # Downscale frames on HOST before upload (cv2 INTER_AREA), rescaling
     # boxes back to source pixels on output.  The detector consumes 300²
@@ -93,6 +98,9 @@ class TwoStageEngine:
                 wh = (boxes[:, 2:] - boxes[:, :2]) * jnp.asarray(
                     cfg.expand_ratio, jnp.float32)
                 boxes = jnp.concatenate([c - wh / 2, c + wh / 2], axis=-1)
+            if cfg.crop_margin_px:
+                m = jnp.float32(cfg.crop_margin_px)
+                boxes = boxes + jnp.asarray([-m, -m, m, m], jnp.float32)
             boxes = jnp.clip(boxes, 0,
                              jnp.asarray([w, h, w, h], jnp.float32))
             # stage 2: batched crop → normalize → all-heads regressor
