@@ -55,6 +55,37 @@ class TestEngine:
         assert set(out.keys()) == {'boxes', 'scores', 'det_labels', 'kp',
                                    'labels'}
 
+    def test_crop_margin_expands_boxes(self):
+        """crop_margin_px grows each returned box by the margin on every
+        unclipped side (the deploy crops then match the regressor's
+        GT-extent±10px training crops)."""
+        key = jax.random.PRNGKey(0)
+        detector = SSDDetector(num_classes=9, width_mult=0.25)
+        det_vars = detector.init(key, jnp.zeros((1, 300, 300, 3)))
+        cfg = AttrDict(model=dict(name='mobilenetv3_small', pretrained=False,
+                                  num_classes=9, bf16=False))
+        regressor = build_model(cfg)
+        reg_vars = regressor.init({'params': key, 'dropout': key},
+                                  jnp.zeros((1, 64, 64, 3), jnp.float32),
+                                  jnp.zeros((1,), jnp.int32))
+        frame = np.random.RandomState(0).randint(0, 255, (360, 640, 3)) \
+            .astype(np.uint8)
+        base = TwoStageEngine(detector, det_vars, regressor, reg_vars,
+                              EngineConfig(det_conf=0.0, max_detections=4,
+                                           crop_size=(64, 64)))(frame)
+        margin = TwoStageEngine(detector, det_vars, regressor, reg_vars,
+                                EngineConfig(det_conf=0.0, max_detections=4,
+                                             crop_size=(64, 64),
+                                             crop_margin_px=10.0))(frame)
+        b0, b1 = base['boxes'], margin['boxes']
+        assert b0.shape == b1.shape
+        # grown by exactly 10 px per side, up to frame clipping
+        np.testing.assert_allclose(
+            b1[:, :2], np.maximum(b0[:, :2] - 10.0, 0.0), atol=1e-3)
+        np.testing.assert_allclose(
+            b1[:, 2:], np.minimum(b0[:, 2:] + 10.0, [640.0, 360.0]),
+            atol=1e-3)
+
     def test_sharded_serving_matches_single_device(self):
         """engine.shard(mesh): batch split over the 8-device data axis must
         produce the same packed results as the unsharded engine."""
