@@ -45,11 +45,17 @@ class Objectron:
     """Map-style dataset over the converted COCO annotations."""
 
     def __init__(self, root_folder, mode='train', resize=(224, 224),
-                 debug_mode=False, category_list='all'):
+                 debug_mode=False, category_list='all', crop_jitter=False):
         self.root_folder = str(root_folder)
         self.mode = mode
         self.resize = tuple(resize)
         self.debug_mode = debug_mode
+        # Opt-in (config data.crop_jitter): jitter the train-crop margin
+        # around the reference's fixed 10 px so deployment crops from noisy
+        # detector boxes stay in-distribution (cf. SceneCrops; the engine's
+        # crop_margin_px=10 matches the mean).  Default off = exact
+        # reference semantics (objectron_main.py:107-110).
+        self.crop_jitter = bool(crop_jitter) and mode == 'train'
         self.num_classes = (len(category_list)
                             if isinstance(category_list, (list, tuple))
                             else len(OBJECTRON_CLASSES))
@@ -97,14 +103,20 @@ class Objectron:
             return image, resized, kps_px, category, crop_cords
         return resized, kps_px, category
 
-    def crop(self, image, keypoints):
-        """Clip keypoints, derive the ±10 px box, crop (reference :98-127)."""
+    def crop(self, image, keypoints, rng=None):
+        """Clip keypoints, derive the ±10 px box, crop (reference :98-127).
+        With ``crop_jitter`` each side's margin is drawn from U(2, 18)."""
         real_h, real_w = image.shape[:2]
         clipped = self.clip_bb(keypoints, real_w, real_h)
-        x0 = int(_clamp(clipped[:, 0].min() - 10, 0, real_w))
-        y0 = int(_clamp(clipped[:, 1].min() - 10, 0, real_h))
-        x1 = int(_clamp(clipped[:, 0].max() + 10, 0, real_w))
-        y1 = int(_clamp(clipped[:, 1].max() + 10, 0, real_h))
+        if self.crop_jitter:
+            rng = rng or np.random
+            ml, mt, mr, mb = rng.uniform(2.0, 18.0, size=4)
+        else:
+            ml = mt = mr = mb = 10.0
+        x0 = int(_clamp(clipped[:, 0].min() - ml, 0, real_w))
+        y0 = int(_clamp(clipped[:, 1].min() - mt, 0, real_h))
+        x1 = int(_clamp(clipped[:, 0].max() + mr, 0, real_w))
+        y1 = int(_clamp(clipped[:, 1].max() + mb, 0, real_h))
         crop_img = image[y0:y1, x0:x1]
         shifted = clipped - np.asarray([x0, y0], np.float32)
         return shifted.astype(np.float32), crop_img, (x0, y0, x1, y1)

@@ -143,7 +143,8 @@ def _make_dataset(config, mode):
         return SyntheticObjectron(length=length, mode=mode, resize=resize,
                                   category_list=config.data.category_list)
     return Objectron(config.data.root, mode=mode, resize=resize,
-                     category_list=config.data.category_list)
+                     category_list=config.data.category_list,
+                     crop_jitter=bool(config.data.get('crop_jitter', False)))
 
 
 def build_loader(config, seed=0):
