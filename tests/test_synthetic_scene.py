@@ -119,6 +119,13 @@ class TestDatasets:
         for i in range(6):
             kps = train[i][1]
             assert np.all(kps >= -1e-3) and np.all(kps <= 128 + 1e-3)
+        # epoch-varying draws (BatchLoader.set_epoch) — deterministic per
+        # (idx, epoch) but different across epochs
+        train.set_epoch(1)
+        k_e1 = train[5][1]
+        assert not np.allclose(k1, k_e1)
+        train.set_epoch(0)
+        np.testing.assert_array_equal(train[5][1], k1)
 
     def test_loader_factory_scene_branch(self):
         """cfg.data.synthetic='scene' routes build_loader to SceneCrops with
@@ -133,7 +140,8 @@ class TestDatasets:
         test = _make_dataset(cfg, 'test')
         assert isinstance(train, SceneCrops)
         assert len(train) == 16 and len(val) == 4
-        assert train.scene.seed != val.scene.seed != test.scene.seed
+        assert len({train.scene.seed, val.scene.seed,
+                    test.scene.seed}) == 3
         img, kps, cat = train[0]
         assert img.shape == (96, 96, 3) and kps.shape == (9, 2)
         frame, crop, kps, cat, coords = test[0]

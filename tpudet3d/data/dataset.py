@@ -34,11 +34,25 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_CV2 = False
 
-__all__ = ['Objectron', 'SyntheticObjectron']
+__all__ = ['Objectron', 'SyntheticObjectron', 'jitter_margins']
 
 
 def _clamp(x, lo, hi):
     return min(max(x, lo), hi)
+
+
+def jitter_margins(seed, idx, epoch=0):
+    """Deterministic per-(example, epoch) crop margins, U(2, 18) px per
+    side (mean = the reference's fixed 10, objectron_main.py:107-110).
+
+    One shared definition for every dataset that jitters crops (Objectron,
+    SceneCrops) so the training-crop distribution stays in lockstep with
+    the engine's ``crop_margin_px=10`` deploy crops.  Seeding by
+    (seed, idx, epoch) keeps runs reproducible under the threaded loader
+    (thread interleaving never touches the draw) while still varying the
+    margins epoch to epoch (BatchLoader calls ``set_epoch``)."""
+    mix = (seed * 1000003 + idx * 97 + epoch * 7919) & 0x7fffffff
+    return np.random.RandomState(mix).uniform(2.0, 18.0, size=4)
 
 
 class Objectron:
@@ -56,6 +70,7 @@ class Objectron:
         # crop_margin_px=10 matches the mean).  Default off = exact
         # reference semantics (objectron_main.py:107-110).
         self.crop_jitter = bool(crop_jitter) and mode == 'train'
+        self._epoch = 0
         self.num_classes = (len(category_list)
                             if isinstance(category_list, (list, tuple))
                             else len(OBJECTRON_CLASSES))
@@ -78,6 +93,11 @@ class Objectron:
             self.annotations = ann['annotations']
             self.images = {img['id']: img for img in ann['images']}
 
+    def set_epoch(self, epoch):
+        """Called by BatchLoader per epoch: varies the crop-jitter draws
+        while keeping them deterministic (jitter_margins)."""
+        self._epoch = int(epoch)
+
     def __len__(self):
         return len(self.annotations)
 
@@ -93,7 +113,9 @@ class Objectron:
             from ..utils.drawing import draw_kp
             draw_kp(image, kps, f'image_before_pipeline_{idx}.jpg',
                     normalized=False, RGB=False)
-        crop_kps, crop_img, crop_cords = self.crop(image, kps)
+        margins = (jitter_margins(0, idx, self._epoch)
+                   if self.crop_jitter else None)
+        crop_kps, crop_img, crop_cords = self.crop(image, kps, margins)
         # host resize to the static target; kps follow
         th, tw = self.resize
         ch, cw = crop_img.shape[:2]
@@ -103,14 +125,13 @@ class Objectron:
             return image, resized, kps_px, category, crop_cords
         return resized, kps_px, category
 
-    def crop(self, image, keypoints, rng=None):
+    def crop(self, image, keypoints, margins=None):
         """Clip keypoints, derive the ±10 px box, crop (reference :98-127).
-        With ``crop_jitter`` each side's margin is drawn from U(2, 18)."""
+        ``margins`` (from jitter_margins) overrides the fixed 10 px."""
         real_h, real_w = image.shape[:2]
         clipped = self.clip_bb(keypoints, real_w, real_h)
-        if self.crop_jitter:
-            rng = rng or np.random
-            ml, mt, mr, mb = rng.uniform(2.0, 18.0, size=4)
+        if margins is not None:
+            ml, mt, mr, mb = margins
         else:
             ml = mt = mr = mb = 10.0
         x0 = int(_clamp(clipped[:, 0].min() - ml, 0, real_w))

@@ -89,6 +89,8 @@ class BatchLoader:
 
     def __iter__(self):
         batches = self._index_batches()
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(self._epoch)
         self._epoch += 1
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -233,6 +233,12 @@ class SceneCrops:
         self.resize = tuple(resize)
         self.objects_per_scene = objects_per_scene
         self.mode = mode
+        self._epoch = 0
+
+    def set_epoch(self, epoch):
+        """Called by BatchLoader per epoch: varies the train-mode crop
+        jitter (jitter_margins) deterministically."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.scene) * self.objects_per_scene
@@ -250,11 +256,12 @@ class SceneCrops:
         # Train mode jitters the per-side crop margin around the reference's
         # fixed 10 px (objectron_main.py:107-110) so deployment crops taken
         # from NOISY detector boxes stay in-distribution; val/test keep the
-        # exact reference semantics for metric comparability.
+        # exact reference semantics for metric comparability.  Draws vary
+        # per epoch (BatchLoader.set_epoch) but stay deterministic.
         if self.mode == 'train':
-            rng = np.random.RandomState((self.scene.seed * 1000003 + idx)
-                                        & 0x7fffffff)
-            ml, mt, mr, mb = rng.uniform(2.0, 18.0, size=4)
+            from .dataset import jitter_margins
+            ml, mt, mr, mb = jitter_margins(self.scene.seed, idx,
+                                            self._epoch)
         else:
             ml = mt = mr = mb = 10.0
         x0 = int(np.clip(clipped[:, 0].min() - ml, 0, w))

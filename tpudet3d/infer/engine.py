@@ -72,8 +72,12 @@ class TwoStageEngine:
     def _build_pipelines(self):
         cfg = self.cfg
 
-        @partial(jax.jit, static_argnames=('h', 'w'))
-        def pipeline(frame_u8, h, w):
+        @partial(jax.jit, static_argnames=('h', 'w', 'margin'))
+        def pipeline(frame_u8, h, w, margin=cfg.crop_margin_px):
+            # ``margin`` is in pixels of THIS frame; the host-downscale
+            # path passes crop_margin_px / d so the crop geometry stays
+            # ±crop_margin_px in SOURCE pixels (the distribution the
+            # regressor trained on) regardless of the upload scale.
             frame = frame_u8.astype(jnp.float32)
             if cfg.input_is_bgr:
                 frame = frame[..., ::-1]
@@ -98,8 +102,8 @@ class TwoStageEngine:
                 wh = (boxes[:, 2:] - boxes[:, :2]) * jnp.asarray(
                     cfg.expand_ratio, jnp.float32)
                 boxes = jnp.concatenate([c - wh / 2, c + wh / 2], axis=-1)
-            if cfg.crop_margin_px:
-                m = jnp.float32(cfg.crop_margin_px)
+            if margin:
+                m = jnp.float32(margin)
                 boxes = boxes + jnp.asarray([-m, -m, m, m], jnp.float32)
             boxes = jnp.clip(boxes, 0,
                              jnp.asarray([w, h, w, h], jnp.float32))
@@ -157,14 +161,19 @@ class TwoStageEngine:
         ``shard(mesh)``, N must be divisible by the mesh size and the batch
         is split across chips."""
         n, h, w = frames.shape[:3]
-        frames = jnp.asarray(frames)
         if self._mesh is not None:
             from ..parallel import data_sharding
             n_dev = self._mesh.size
             assert n % n_dev == 0, (
                 f'sharded serving needs batch % mesh size == 0, '
                 f'got {n} % {n_dev}')
-            frames = jax.device_put(frames, data_sharding(self._mesh, 4))
+            # device_put straight from host: each shard uploads once to its
+            # own device (jnp.asarray first would stage the full batch
+            # through device 0 — 2x the H2D bytes)
+            frames = jax.device_put(np.asarray(frames),
+                                    data_sharding(self._mesh, 4))
+        else:
+            frames = jnp.asarray(frames)
         packed = np.asarray(jax.device_get(
             self._pipeline_batch(frames, h, w)))
         out = []
@@ -205,7 +214,9 @@ class TwoStageEngine:
             # boxes come back in downscaled pixels; restore source pixels
             scale = float(d)
         h, w = frame.shape[:2]
-        out = self._pipeline(jnp.asarray(frame), h, w)
+        # keep the crop margin fixed in SOURCE pixels under downscaling
+        out = self._pipeline(jnp.asarray(frame), h, w,
+                             margin=self.cfg.crop_margin_px / max(d, 1))
         self._pending.append((out, scale))
 
     def wait_and_grab(self):
