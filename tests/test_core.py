@@ -69,6 +69,21 @@ class TestLoader:
         loader = BatchLoader(ds, batch_size=4, drop_last=True)
         assert len(list(loader)) == 2
 
+    def test_set_epoch_forwarded_to_dataset(self):
+        """Datasets exposing set_epoch get the 0-based epoch before each
+        pass (drives epoch-varying crop jitter, dataset.jitter_margins)."""
+        class EpochDs(SyntheticObjectron):
+            seen = []
+
+            def set_epoch(self, epoch):
+                self.seen.append(epoch)
+
+        ds = EpochDs(length=4, resize=(16, 16))
+        loader = BatchLoader(ds, batch_size=4)
+        list(loader)
+        list(loader)
+        assert ds.seen == [0, 1]
+
     def test_shuffle_reproducible_across_instances(self):
         ds = SyntheticObjectron(length=16, resize=(32, 32))
         a = [c.tolist() for _, _, c, _ in BatchLoader(ds, 4, shuffle=True,
