@@ -73,6 +73,10 @@ def main():
     parser.add_argument('--report_dir', type=str, default='./eval_reports')
     parser.add_argument('--det_tresh', type=float, default=0.6)
     parser.add_argument('--vis_thresh', type=float, default=0.1)
+    parser.add_argument('--batch', type=int, default=8,
+                        help='frames per fused engine program (same-shape '
+                             'shards run batched; mixed shapes fall back '
+                             'to per-frame)')
     args = parser.parse_args()
 
     from demo import build_engine   # same engine assembly as the demo CLI
@@ -88,17 +92,33 @@ def main():
             print(f'[{category}] no shards under {args.eval_data}, skipping')
             continue
         evaluator = ObjectronProtocolEvaluator()
-        n_done = 0
+        # decode up-front so the engine runs in server batches: the
+        # reference loops one IE infer per image (objectron_eval.py:265-286)
+        # — here N frames share one fused XLA program dispatch, which also
+        # amortizes the host→device round-trip per batch.
+        examples = []
         for shard in shards:
             for payload in read_tfrecord(shard):
-                if 0 <= args.max_num <= n_done:
+                if 0 <= args.max_num <= len(examples):
                     break
                 image, gt2d, gt3d, vis, plane = decode_example(payload)
                 if image is None or len(gt2d) == 0:
                     continue
                 if not len(vis):
                     vis = np.ones(len(gt2d), np.float32)
-                result = engine(image)
+                examples.append((image, gt2d, gt3d, vis, plane))
+        n_done = 0
+        for start in range(0, len(examples), args.batch):
+            chunk = examples[start:start + args.batch]
+            same_shape = len({e[0].shape for e in chunk}) == 1
+            if same_shape and len(chunk) > 1:
+                pad = chunk + chunk[-1:] * (args.batch - len(chunk))
+                results = engine.infer_batch(
+                    np.stack([e[0] for e in pad]))[:len(chunk)]
+            else:   # mixed shapes: per-frame programs
+                results = [engine(e[0]) for e in chunk]
+            for (image, gt2d, gt3d, vis, plane), result in zip(chunk,
+                                                               results):
                 h, w = image.shape[:2]
                 pred2d = []
                 for box, kp in zip(result['boxes'], result['kp']):
