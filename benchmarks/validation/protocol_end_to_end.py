@@ -44,7 +44,7 @@ def main():
                     help='reuse existing snapshots')
     ap.add_argument('--per_class', type=int, default=16)
     ap.add_argument('--classes', type=str, nargs='+', default=['all'])
-    ap.add_argument('--det_tresh', type=float, default=0.3)
+    ap.add_argument('--det_tresh', type=float, default=0.05)
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
