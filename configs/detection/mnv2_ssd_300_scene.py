@@ -14,6 +14,7 @@ data = dict(
     synthetic='scene',
     synthetic_length=3072,
     scene_seed=23,
+    scene_cache='./output/scene_cache',
 )
 
 model = dict(name='mnv2_ssd_300', num_classes=9, width_mult=1.0, bf16=True)

@@ -16,6 +16,7 @@ data = dict(
     synthetic='scene',
     synthetic_length=4096,
     scene_seed=23,
+    scene_cache='./output/scene_cache',
 )
 
 model = dict(name='mobilenetv3_large_21k', pretrained=False, num_classes=9,

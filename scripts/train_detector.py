@@ -92,7 +92,8 @@ def main():
                                                    SceneDetection)
         ds = SceneDetection(
             SyntheticScene(length=int(cfg.data.synthetic_length),
-                           seed=int(cfg.data.get('scene_seed', 23))),
+                           seed=int(cfg.data.get('scene_seed', 23)),
+                           cache_dir=cfg.data.get('scene_cache', '')),
             input_size=int(cfg.input_size),
             max_boxes=int(cfg.data.max_boxes))
     elif cfg.data.synthetic:
@@ -143,7 +144,8 @@ def main():
                                                    SceneDetection)
         val_ds = SceneDetection(
             SyntheticScene(length=max(int(cfg.data.synthetic_length) // 4, 8),
-                           seed=int(cfg.data.get('scene_seed', 23)) + 917 * 2),
+                           seed=int(cfg.data.get('scene_seed', 23)) + 917 * 2,
+                           cache_dir=cfg.data.get('scene_cache', '')),
             input_size=int(cfg.input_size),
             max_boxes=int(cfg.data.max_boxes))
     elif cfg.data.synthetic:

@@ -148,6 +148,23 @@ class TestDatasets:
         assert frame.ndim == 3 and crop.shape == (96, 96, 3)
         assert len(coords) == 4 and 0 <= cat < 9
 
+    def test_scene_cache_roundtrip(self, tmp_path):
+        """Cached scenes reload bit-identically (PNG frame + exact
+        float keypoints), so cached and uncached runs are equivalent."""
+        from tpudet3d.data.synthetic_scene import SyntheticScene
+        cold = SyntheticScene(length=2, seed=5, cache_dir=str(tmp_path))
+        s0 = cold.sample(0)            # renders + stores
+        warm = SyntheticScene(length=2, seed=5, cache_dir=str(tmp_path))
+        s1 = warm.sample(0)            # loads from cache
+        np.testing.assert_array_equal(s0['kps2d'], s1['kps2d'])
+        np.testing.assert_array_equal(s0['kps3d'], s1['kps3d'])
+        np.testing.assert_array_equal(s0['labels'], s1['labels'])
+        np.testing.assert_array_equal(s0['plane'][0], s1['plane'][0])
+        np.testing.assert_array_equal(s1['img'], s0['img'])
+        # no cache dir → pure render, same geometry
+        plain = SyntheticScene(length=2, seed=5)
+        np.testing.assert_array_equal(plain.sample(0)['kps2d'], s0['kps2d'])
+
     def test_eval_shards_readable(self, tmp_path):
         from tpudet3d.eval.protocol import read_tfrecord, parse_example
         write_eval_shards(str(tmp_path), ['cup'], per_class=3,

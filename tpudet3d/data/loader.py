@@ -136,7 +136,8 @@ def _make_dataset(config, mode):
         seeds = {'train': 0, 'val': 1, 'test': 2}
         scene = SyntheticScene(length=length,
                                seed=int(config.data.get('scene_seed', 23))
-                               + 917 * seeds[mode])
+                               + 917 * seeds[mode],
+                               cache_dir=config.data.get('scene_cache', ''))
         return SceneCrops(scene, resize=resize, mode=mode)
     if synthetic:
         length = int(config.data.get('synthetic_length', 1024))
