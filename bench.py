@@ -73,7 +73,7 @@ def get_baseline():
     return data
 
 
-def measure_tpu(n_iters=50, server_batch=16):
+def measure_tpu(n_iters=50, server_batch=32):
     """Returns (server_fps, streaming_fps, host_included_fps).
 
     server: N frames per program (batched SSD + batched crops/regressor) —
@@ -147,7 +147,7 @@ def main():
     server_fps, streaming_fps, host_fps, host_ds_fps = measure_tpu()
     base_fps = baseline['torch_cpu_two_stage_fps']
     print(json.dumps({
-        'metric': 'two-stage pipeline frames/sec (720p, SSD300 + 3D regressor, batch-16 serving, device-resident input)',
+        'metric': 'two-stage pipeline frames/sec (720p, SSD300 + 3D regressor, batch-32 serving, device-resident input)',
         'value': round(server_fps, 2),
         'unit': 'frames/sec/chip',
         'vs_baseline': round(server_fps / base_fps, 2),
