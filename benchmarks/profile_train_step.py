@@ -11,8 +11,6 @@ Usage: python benchmarks/profile_train_step.py [--batch 128] [--steps 10]
 
 import argparse
 import glob
-import gzip
-import json
 import os.path as osp
 import sys
 import tempfile
@@ -51,32 +49,43 @@ def capture(batch, steps):
 
 
 def summarize(logdir, top=25):
-    """Aggregate self-time per HLO op name from the trace-viewer JSON
-    (trace.json.gz contains device-side XLA op events)."""
-    paths = glob.glob(osp.join(logdir, 'plugins/profile/*/*.trace.json.gz'))
-    assert paths, f'no trace under {logdir}'
-    with gzip.open(paths[0], 'rt') as f:
-        trace = json.load(f)
-    events = trace.get('traceEvents', [])
-    # device lanes only: pid names like "/device:TPU:0" carry XLA ops
-    device_pids = {e['pid'] for e in events
-                   if e.get('ph') == 'M' and e.get('name') == 'process_name'
-                   and 'TPU' in str(e.get('args', {}).get('name', ''))}
+    """Aggregate self-time per XLA op from the xplane device trace
+    ("XLA Ops" line of the /device:TPU plane).  Ops are grouped by HLO
+    name with the trailing fusion counter stripped, so all instances of
+    e.g. ``fusion.123`` / ``fusion.456`` with the same stem and category
+    report together."""
+    paths = glob.glob(osp.join(logdir, 'plugins/profile/*/*.xplane.pb'))
+    assert paths, f'no xplane under {logdir}'
+    import os
+    os.environ.setdefault('PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION',
+                          'python')
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    space = xplane_pb2.XSpace()
+    with open(paths[0], 'rb') as f:
+        space.ParseFromString(f.read())
+    import re
     totals, counts = {}, {}
-    total_dev_us = 0.0
-    for e in events:
-        if e.get('ph') != 'X' or e.get('pid') not in device_pids:
+    total_ps = 0
+    for plane in space.planes:
+        if not plane.name.startswith('/device:TPU'):
             continue
-        name = e.get('name', '?')
-        dur = float(e.get('dur', 0.0))
-        totals[name] = totals.get(name, 0.0) + dur
-        counts[name] = counts.get(name, 0) + 1
-        total_dev_us += dur
-    print(f'total device op-time: {total_dev_us / 1e3:.2f} ms '
-          f'({len(totals)} distinct ops)')
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != 'XLA Ops':
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, '?')
+                # '%convert_reduce_fusion.12 = (f32[64]...' → stem
+                stem = re.sub(r'\.[0-9]+$', '',
+                              name.split(' = ')[0].lstrip('%'))
+                totals[stem] = totals.get(stem, 0) + ev.duration_ps
+                counts[stem] = counts.get(stem, 0) + 1
+                total_ps += ev.duration_ps
+    print(f'total device op-time: {total_ps / 1e9:.2f} ms '
+          f'({len(totals)} distinct op stems)')
     print(f'{"self ms":>9} {"%":>6} {"count":>6}  op')
-    for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
-        print(f'{us / 1e3:9.2f} {100 * us / total_dev_us:6.2f} '
+    for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(f'{ps / 1e9:9.2f} {100 * ps / total_ps:6.2f} '
               f'{counts[name]:6d}  {name[:90]}')
 
 
@@ -85,8 +94,10 @@ def main():
     ap.add_argument('--batch', type=int, default=128)
     ap.add_argument('--steps', type=int, default=10)
     ap.add_argument('--top', type=int, default=25)
+    ap.add_argument('--logdir', type=str, default='',
+                    help='summarize an existing trace instead of capturing')
     args = ap.parse_args()
-    logdir = capture(args.batch, args.steps)
+    logdir = args.logdir or capture(args.batch, args.steps)
     print('trace:', logdir)
     summarize(logdir, args.top)
 
