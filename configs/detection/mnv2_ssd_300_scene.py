@@ -7,7 +7,7 @@ data = dict(
     root='',
     train_batch_size=64,
     val_batch_size=64,
-    max_epochs=25,
+    max_epochs=40,
     num_workers=4,
     min_size=17,
     max_boxes=16,
@@ -24,7 +24,7 @@ data_parallel = dict(use_parallel=True, num_devices=None)
 optim = dict(name='sgd', lr=0.05, momentum=0.9, wd=5e-4)
 
 scheduler = dict(policy='step', warmup_iters=300, warmup_ratio=1.0 / 3,
-                 steps=[15, 20, 23], gamma=0.1)
+                 steps=[25, 30, 35], gamma=0.1)
 
 train_cfg = dict(pos_iou_thr=0.4, neg_iou_thr=0.4, neg_pos_ratio=3,
                  smoothl1_beta=1.0, loss_balancing=False,
