@@ -45,7 +45,7 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
     key = jax.random.PRNGKey(0)
 
     detector = SSDDetector(num_classes=9, dtype=jnp.bfloat16)
-    det_vars = detector.init(key, jnp.zeros((1, 300, 300, 3), jnp.float32))
+    det_vars = jax.jit(detector.init)(key, jnp.zeros((1, 300, 300, 3), jnp.float32))
     if det_checkpoint:
         from tpudet3d.utils.checkpoint import merge_matching
         import orbax.checkpoint as ocp
@@ -58,7 +58,7 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                                              det_vars.get('batch_stats', {}))}
 
     regressor = build_model(cfg)
-    reg_vars = regressor.init({'params': key, 'dropout': key},
+    reg_vars = jax.jit(regressor.init)({'params': key, 'dropout': key},
                               jnp.zeros((1, 224, 224, 3), jnp.float32),
                               jnp.zeros((1,), jnp.int32))
     reg_snap = reg_checkpoint or (latest_snapshot(cfg.output_dir)

@@ -29,7 +29,7 @@ def main():
     shape = (1, *cfg.data.resize, 3)
     x = jnp.zeros(shape, jnp.float32)
     cats = jnp.zeros((1,), jnp.int32)
-    variables = model.init({'params': key, 'dropout': key}, x, cats)
+    variables = jax.jit(model.init)({'params': key, 'dropout': key}, x, cats)
 
     def fwd(img):
         return model.apply(variables, img, export=True)

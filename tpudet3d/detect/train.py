@@ -55,7 +55,10 @@ def warmup_step_lr(base_lr=0.05, warmup_iters=1200, warmup_ratio=1.0 / 3,
 
 def create_detector_state(model, optimizer, rng, input_size=300, batch=2):
     x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
-    variables = model.init(rng, x)
+    # jitted: eager flax init dispatches hundreds of tiny device ops — on a
+    # high-RTT host->TPU link that costs minutes; one compiled (and
+    # persistently cached) program costs ~1 s warm
+    variables = jax.jit(model.init)(rng, x)
     params = variables['params']
     balance = {'s_cls': jnp.zeros(()), 's_reg': jnp.zeros(())}
     opt_state = optimizer.init({'model': params, 'balance': balance})

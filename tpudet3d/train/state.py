@@ -6,6 +6,7 @@ Here it is a single ``flax.struct`` pytree so the whole training step is a
 pure ``state, batch -> state, metrics`` function with donated buffers.
 """
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -31,8 +32,10 @@ def create_train_state(model, optimizer, loss_manager, rng, input_shape,
     """Initialize parameters and optimizer state for the wrapped model."""
     dummy = jnp.zeros(input_shape, jnp.float32)
     dummy_cats = jnp.zeros((input_shape[0],), jnp.int32)
-    variables = model.init({'params': rng, 'dropout': rng}, dummy, dummy_cats,
-                           train=False)
+    # jitted init: one cached program instead of hundreds of RTT-bound
+    # eager dispatches (see detect/train.py create_detector_state)
+    variables = jax.jit(partial(model.init, train=False))(
+        {'params': rng, 'dropout': rng}, dummy, dummy_cats)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = optimizer.init(params)
