@@ -47,6 +47,10 @@ def export_regressor(model, variables, save_path, img_size=(128, 128),
     <save_path>/model.stablehlo.mlir — human-readable IR dump
     """
     mkdir_if_missing(save_path)
+    # host copy first: lowering a closure over on-device params fetches
+    # each of the ~300 leaves separately — on a high-RTT host->TPU link
+    # that costs minutes per lowering (see __graft_entry__.entry)
+    variables = jax.device_get(variables)
     fn = make_export_fn(model, variables, img_size)
     spec = jax.ShapeDtypeStruct((batch_size, *img_size, 3), jnp.uint8)
     jitted = jax.jit(fn)
@@ -54,7 +58,8 @@ def export_regressor(model, variables, save_path, img_size=(128, 128),
     blob = exported.serialize()
     with open(osp.join(save_path, 'model.jaxexport'), 'wb') as f:
         f.write(blob)
-    mlir_text = jitted.lower(spec).as_text()
+    # reuse the already-lowered module instead of lowering a second time
+    mlir_text = str(exported.mlir_module())
     with open(osp.join(save_path, 'model.stablehlo.mlir'), 'w') as f:
         f.write(mlir_text)
     print(f'exported deployment artifact to {save_path} '
