@@ -72,18 +72,21 @@ class TwoStageEngine:
     def _build_pipelines(self):
         cfg = self.cfg
 
-        @partial(jax.jit, static_argnames=('h', 'w', 'margin'))
-        def pipeline(frame_u8, h, w, margin=cfg.crop_margin_px):
+        def pipeline_core(det_vars, reg_vars, frame_u8, h, w, margin):
             # ``margin`` is in pixels of THIS frame; the host-downscale
             # path passes crop_margin_px / d so the crop geometry stays
             # ±crop_margin_px in SOURCE pixels (the distribution the
             # regressor trained on) regardless of the upload scale.
+            # Weights travel as ARGUMENTS: a closure over on-device params
+            # makes every (shape)-lowering fetch each leaf through the
+            # host link separately — minutes per program on this harness
+            # (same class of bug as __graft_entry__.entry).
             frame = frame_u8.astype(jnp.float32)
             if cfg.input_is_bgr:
                 frame = frame[..., ::-1]
             # stage 1: detector (norm: x/255, config img_norm_cfg)
             det_in = resize_bilinear(frame, (INPUT_SIZE, INPUT_SIZE)) / 255.0
-            logits, deltas = self.det_model.apply(self.det_vars, det_in[None],
+            logits, deltas = self.det_model.apply(det_vars, det_in[None],
                                                   train=False)
             dets = decode_detections(logits[0], deltas[0], self.anchors,
                                      score_thr=cfg.score_thr,
@@ -112,7 +115,7 @@ class TwoStageEngine:
             mean = jnp.asarray(REG_MEAN, jnp.float32) * 255
             std = jnp.asarray(REG_STD, jnp.float32) * 255
             crops = (crops - mean) / std
-            all_kp, cls_logits = self.reg_model.apply(self.reg_vars, crops,
+            all_kp, cls_logits = self.reg_model.apply(reg_vars, crops,
                                                       export=True)
             # pick the head of the predicted class (ie_wrappers.py:138-142)
             reg_labels = jnp.argmax(cls_logits, axis=-1)          # [N]
@@ -129,14 +132,27 @@ class TwoStageEngine:
                 conf_mask.astype(jnp.float32)[:, None]], axis=-1)
             return packed
 
-        self._pipeline = pipeline
+        jit_one = partial(jax.jit, static_argnames=('h', 'w', 'margin'))(
+            pipeline_core)
 
         @partial(jax.jit, static_argnames=('h', 'w'))
-        def pipeline_batch(frames_u8, h, w):
+        def jit_batch(det_vars, reg_vars, frames_u8, h, w):
             """Server mode: N frames in one program — the SSD runs as one
             batched forward and all N*K crops as one regressor forward."""
-            return jax.vmap(lambda f: pipeline(f, h, w))(frames_u8)
+            return jax.vmap(lambda f: pipeline_core(
+                det_vars, reg_vars, f, h, w, cfg.crop_margin_px))(frames_u8)
 
+        # public callables keep the (frame, h, w[, margin]) signature used
+        # by bench.py and the sweep scripts; weights injected per call
+        def pipeline(frame_u8, h, w, margin=cfg.crop_margin_px):
+            return jit_one(self.det_vars, self.reg_vars, frame_u8,
+                           h=h, w=w, margin=margin)
+
+        def pipeline_batch(frames_u8, h, w):
+            return jit_batch(self.det_vars, self.reg_vars, frames_u8,
+                             h=h, w=w)
+
+        self._pipeline = pipeline
         self._pipeline_batch = pipeline_batch
 
     # --- multi-chip serving ------------------------------------------------
