@@ -37,13 +37,16 @@ class Detector:
         self.anchors = jnp.asarray(generate_anchors())
         self._pending = None
 
+        # weights as arguments, not jit closures: lowering a closure over
+        # on-device params fetches every leaf through the host link per
+        # compiled shape (see infer/engine.py _build_pipelines)
         @partial(jax.jit, static_argnames=('h', 'w'))
-        def forward(frame_u8, h, w):
+        def forward(variables, frame_u8, h, w):
             frame = frame_u8.astype(jnp.float32)
             if input_is_bgr:
                 frame = frame[..., ::-1]
             det_in = resize_bilinear(frame, (INPUT_SIZE, INPUT_SIZE)) / 255.0
-            logits, deltas = self.model.apply(self.variables, det_in[None],
+            logits, deltas = self.model.apply(variables, det_in[None],
                                               train=False)
             dets = decode_detections(logits[0], deltas[0], self.anchors,
                                      max_per_img=max_detections,
@@ -57,7 +60,8 @@ class Detector:
     def run_async(self, frame):
         self.frame_shape = frame.shape
         h, w = frame.shape[:2]
-        self._pending = self._forward(jnp.asarray(frame), h, w)
+        self._pending = self._forward(self.variables, jnp.asarray(frame),
+                                      h, w)
 
     def wait_and_grab(self):
         assert self._pending is not None
@@ -101,7 +105,7 @@ class Regressor:
         self.max_batch = max_batch
 
         @partial(jax.jit, static_argnames=('h', 'w'))
-        def forward(frame_u8, boxes, h, w):
+        def forward(variables, frame_u8, boxes, h, w):
             frame = frame_u8.astype(jnp.float32)
             if input_is_bgr:
                 frame = frame[..., ::-1]
@@ -109,7 +113,7 @@ class Regressor:
             mean = jnp.asarray(REG_MEAN, jnp.float32) * 255
             std = jnp.asarray(REG_STD, jnp.float32) * 255
             crops = (crops - mean) / std
-            all_kp, logits = self.model.apply(self.variables, crops,
+            all_kp, logits = self.model.apply(variables, crops,
                                               export=True)
             labels = jnp.argmax(logits, axis=-1)
             kp = all_kp[labels, jnp.arange(labels.shape[0])]
@@ -127,7 +131,8 @@ class Regressor:
         for i, det in enumerate(detections[:self.max_batch]):
             boxes[i] = det[:4]
         h, w = frame.shape[:2]
-        kp, labels = self._forward(jnp.asarray(frame), jnp.asarray(boxes),
+        kp, labels = self._forward(self.variables,
+                                   jnp.asarray(frame), jnp.asarray(boxes),
                                    h, w)
         kp = np.asarray(kp)
         labels = np.asarray(labels)
