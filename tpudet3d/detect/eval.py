@@ -49,11 +49,14 @@ class DetectorEvaluator:
         self.anchors = jnp.asarray(generate_anchors())
         self._records = defaultdict(list)   # cls -> [(score, matched)]
         self._num_gt = np.zeros(num_classes, np.int64)
-        mdl, var = model, variables
+        mdl = model
+        self._variables = variables
 
+        # weights as jit arguments (not closures): lowering a closure over
+        # on-device params fetches each leaf separately over the host link
         @jax.jit
-        def forward(imgs):
-            logits, deltas = mdl.apply(var, imgs, train=False)
+        def forward(variables, imgs):
+            logits, deltas = mdl.apply(variables, imgs, train=False)
             return jax.vmap(lambda l, d: decode_detections(
                 l, d, self.anchors, score_thr=score_thr,
                 max_per_img=max_per_img,
@@ -63,7 +66,8 @@ class DetectorEvaluator:
 
     def add_batch(self, imgs, gt_boxes, gt_labels, gt_valid):
         """imgs: normalized [B,S,S,3]; gt in input pixels, padded+mask."""
-        dets = np.asarray(self._forward(jnp.asarray(imgs)))
+        dets = np.asarray(self._forward(self._variables,
+                                        jnp.asarray(imgs)))
         for b in range(dets.shape[0]):
             boxes = np.asarray(gt_boxes[b])[np.asarray(gt_valid[b])]
             labels = np.asarray(gt_labels[b])[np.asarray(gt_valid[b])]
