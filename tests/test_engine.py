@@ -109,6 +109,33 @@ class TestEngine:
         with pytest.raises(AssertionError):
             engine.infer_batch(frames[:3])
 
+    def test_margin_kept_in_source_pixels_under_downscale(self):
+        """host_downscale=d passes crop_margin_px/d to the pipeline so the
+        crop geometry stays ±crop_margin_px in SOURCE pixels (review
+        finding: an unscaled margin silently doubles the trained-crop
+        margin at d=2)."""
+        engine = tiny_engine()
+        engine.cfg.crop_margin_px = 10.0
+        engine.cfg.host_downscale = 2
+        captured = {}
+        orig = engine._pipeline
+
+        def spy(frame, h, w, margin):
+            captured['margin'] = margin
+            captured['hw'] = (h, w)
+            return orig(frame, h, w, margin=margin)
+
+        engine._pipeline = spy
+        frame = np.random.RandomState(3).randint(0, 255, (360, 640, 3)) \
+            .astype(np.uint8)
+        engine.run_async(frame)
+        out = engine.wait_and_grab()
+        assert captured['margin'] == 5.0
+        assert captured['hw'] == (180, 320)   # uploaded at half resolution
+        # boxes come back rescaled to source pixels
+        assert np.all(out['boxes'][:, [0, 2]] <= 640 + 1e-3)
+        assert np.all(out['boxes'][:, [1, 3]] <= 360 + 1e-3)
+
     def test_split_wrappers_consistent(self):
         """Detector/Regressor split API produces the same stage-1 boxes as
         the fused engine for conf=0."""
