@@ -29,7 +29,10 @@ def main():
     shape = (1, *cfg.data.resize, 3)
     x = jnp.zeros(shape, jnp.float32)
     cats = jnp.zeros((1,), jnp.int32)
-    variables = jax.jit(model.init)({'params': key, 'dropout': key}, x, cats)
+    # host copy: lowering a closure over on-device params fetches each
+    # leaf separately over the host link (see infer/export.py)
+    variables = jax.device_get(
+        jax.jit(model.init)({'params': key, 'dropout': key}, x, cats))
 
     def fwd(img):
         return model.apply(variables, img, export=True)

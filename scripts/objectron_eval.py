@@ -92,30 +92,49 @@ def main():
             print(f'[{category}] no shards under {args.eval_data}, skipping')
             continue
         evaluator = ObjectronProtocolEvaluator()
-        # decode up-front so the engine runs in server batches: the
-        # reference loops one IE infer per image (objectron_eval.py:265-286)
-        # — here N frames share one fused XLA program dispatch, which also
-        # amortizes the host→device round-trip per batch.
-        examples = []
-        for shard in shards:
-            for payload in read_tfrecord(shard):
-                if 0 <= args.max_num <= len(examples):
-                    break
-                image, gt2d, gt3d, vis, plane = decode_example(payload)
-                if image is None or len(gt2d) == 0:
-                    continue
-                if not len(vis):
-                    vis = np.ones(len(gt2d), np.float32)
-                examples.append((image, gt2d, gt3d, vis, plane))
+        # The engine runs in server batches: the reference loops one IE
+        # infer per image (objectron_eval.py:265-286) — here up to --batch
+        # frames share one fused XLA program dispatch, which also amortizes
+        # the host→device round-trip.  Decoding streams chunk by chunk so
+        # memory stays O(batch), not O(shard).
+        assert int(engine.cfg.host_downscale) == 1, \
+            'eval requires full-resolution frames (infer_batch has no ' \
+            'host-downscale path)'
+
+        def stream_examples():
+            n = 0
+            for shard in shards:
+                for payload in read_tfrecord(shard):
+                    if 0 <= args.max_num <= n:
+                        return
+                    image, gt2d, gt3d, vis, plane = decode_example(payload)
+                    if image is None or len(gt2d) == 0:
+                        continue
+                    if not len(vis):
+                        vis = np.ones(len(gt2d), np.float32)
+                    n += 1
+                    yield image, gt2d, gt3d, vis, plane
+
+        def stream_chunks():
+            chunk = []
+            for ex in stream_examples():
+                if chunk and ex[0].shape != chunk[0][0].shape:
+                    yield chunk
+                    chunk = []
+                chunk.append(ex)
+                if len(chunk) == args.batch:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
+
         n_done = 0
-        for start in range(0, len(examples), args.batch):
-            chunk = examples[start:start + args.batch]
-            same_shape = len({e[0].shape for e in chunk}) == 1
-            if same_shape and len(chunk) > 1:
+        for chunk in stream_chunks():
+            if len(chunk) > 1:
                 pad = chunk + chunk[-1:] * (args.batch - len(chunk))
                 results = engine.infer_batch(
                     np.stack([e[0] for e in pad]))[:len(chunk)]
-            else:   # mixed shapes: per-frame programs
+            else:   # lone frame (odd tail / shape change)
                 results = [engine(e[0]) for e in chunk]
             for (image, gt2d, gt3d, vis, plane), result in zip(chunk,
                                                                results):

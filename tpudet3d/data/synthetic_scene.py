@@ -149,10 +149,21 @@ class SyntheticScene:
             self._cache_store(idx, out)
         return out
 
+    _CACHE_VERSION = 1   # bump when _render_sample's output changes
+
     def _cache_path(self, idx):
+        import hashlib
         import os.path as osp
         h, w = self.frame_hw
-        return osp.join(self.cache_dir, f's{self.seed}_{h}x{w}_{idx}.npz')
+        # every generation parameter participates in the key: a stale
+        # entry from a differently-configured generator must never be
+        # served (silently wrong labels/objects)
+        cfg = (self._CACHE_VERSION, self.seed, self.frame_hw,
+               self.min_objects, self.max_objects, self.classes,
+               self.clutter)
+        tag = hashlib.sha1(repr(cfg).encode()).hexdigest()[:10]
+        return osp.join(self.cache_dir,
+                        f's{self.seed}_{h}x{w}_{tag}_{idx}.npz')
 
     def _cache_load(self, idx):
         import os.path as osp
@@ -162,6 +173,8 @@ class SyntheticScene:
         try:
             z = np.load(path)
             img = cv.imdecode(z['png'], cv.IMREAD_COLOR)
+            if img is None:     # corrupt payload: fall back to re-render
+                return None
             return dict(img=img, kps2d=z['kps2d'], kps3d=z['kps3d'],
                         labels=z['labels'],
                         plane=(z['plane_c'], z['plane_n']))
