@@ -104,3 +104,33 @@ def test_objectron_eval_cli_end_to_end(tmp_path, monkeypatch, capsys):
         assert aps and all(0.0 <= v <= max_dup + 1e-4 for v in aps), aps
     out = capsys.readouterr().out
     assert 'evaluated 2 examples' in out
+
+
+@slow
+def test_objectron_eval_cli_mixed_frame_shapes(tmp_path, monkeypatch,
+                                               capsys):
+    """Shards whose frames change resolution mid-stream: the batched loop
+    must flush chunks at shape boundaries and still evaluate every
+    example (scripts/objectron_eval.py stream_chunks)."""
+    rng = np.random.RandomState(4)
+    data_root = tmp_path / 'records'
+    (data_root / 'cup').mkdir(parents=True)
+    examples = ([_make_eval_example(rng, height=240, width=320)
+                 for _ in range(2)]
+                + [_make_eval_example(rng, height=180, width=320)
+                   for _ in range(2)])
+    _write_shard(str(data_root / 'cup' / 'shard-000'), examples)
+
+    import demo
+    import objectron_eval
+    monkeypatch.setattr(demo, 'build_engine',
+                        lambda *a, **kw: tiny_engine())
+    report_dir = tmp_path / 'reports'
+    monkeypatch.setattr(sys, 'argv', [
+        'objectron_eval.py', '--eval_data', str(data_root),
+        '--classes', 'cup', '--report_dir', str(report_dir),
+        '--det_tresh', '0.0', '--batch', '8'])
+    objectron_eval.main()
+    out = capsys.readouterr().out
+    assert 'evaluated 4 examples' in out
+    assert 'Mean 3D IoU' in (report_dir / 'report_cup.txt').read_text()
