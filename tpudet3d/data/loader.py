@@ -138,7 +138,12 @@ def _make_dataset(config, mode):
                                seed=int(config.data.get('scene_seed', 23))
                                + 917 * seeds[mode],
                                cache_dir=config.data.get('scene_cache', ''))
-        return SceneCrops(scene, resize=resize, mode=mode)
+        det_boxes = (config.data.get('det_boxes', '')
+                     if mode == 'train' else '')
+        return SceneCrops(
+            scene, resize=resize, mode=mode, det_boxes=det_boxes,
+            selflabel_p=float(config.data.get('selflabel_p', 0.5)),
+            selflabel_margin=float(config.data.get('selflabel_margin', 10.0)))
     if synthetic:
         length = int(config.data.get('synthetic_length', 1024))
         if mode != 'train':

@@ -295,12 +295,26 @@ class SceneCrops:
     (crop, kps, cat); test items add the original frame + crop coords."""
 
     def __init__(self, scene: SyntheticScene, resize=(224, 224),
-                 objects_per_scene=2, mode='train'):
+                 objects_per_scene=2, mode='train', det_boxes='',
+                 selflabel_p=0.5, selflabel_margin=10.0):
         self.scene = scene
         self.resize = tuple(resize)
         self.objects_per_scene = objects_per_scene
         self.mode = mode
         self._epoch = 0
+        # Self-labeled deploy-distribution crops (data/selflabel.py): with
+        # probability ``selflabel_p`` a train item crops from the trained
+        # detector's matched predicted box + the engine's deploy margin
+        # (EngineConfig.crop_margin_px) instead of the GT extent — the
+        # measured round-2 chain bottleneck was exactly this train/deploy
+        # crop-distribution mismatch (BASELINE.md).
+        self.selflabel_p = float(selflabel_p)
+        self.selflabel_margin = float(selflabel_margin)
+        self._det_boxes = self._det_valid = None
+        if det_boxes and mode == 'train':
+            from .selflabel import load_selflabel_boxes
+            self._det_boxes, self._det_valid = \
+                load_selflabel_boxes(det_boxes, scene)
 
     def set_epoch(self, epoch):
         """Called by BatchLoader per epoch: varies the train-mode crop
@@ -325,18 +339,45 @@ class SceneCrops:
         # from NOISY detector boxes stay in-distribution; val/test keep the
         # exact reference semantics for metric comparability.  Draws vary
         # per epoch (BatchLoader.set_epoch) but stay deterministic.
-        if self.mode == 'train':
-            from .dataset import jitter_margins
-            ml, mt, mr, mb = jitter_margins(self.scene.seed, idx,
-                                            self._epoch)
-        else:
-            ml = mt = mr = mb = 10.0
-        x0 = int(np.clip(clipped[:, 0].min() - ml, 0, w))
-        y0 = int(np.clip(clipped[:, 1].min() - mt, 0, h))
-        x1 = int(np.clip(clipped[:, 0].max() + mr, 0, w))
-        y1 = int(np.clip(clipped[:, 1].max() + mb, 0, h))
+        det_box = None
+        if self.mode == 'train' and self._det_boxes is not None:
+            scene_idx = idx // self.objects_per_scene
+            if self._det_valid[scene_idx, k]:
+                draw = np.random.RandomState(
+                    (self.scene.seed * 99991 + idx * 31
+                     + self._epoch * 7919) & 0x7fffffff).uniform()
+                if draw < self.selflabel_p:
+                    det_box = self._det_boxes[scene_idx, k]
+        if det_box is not None:
+            # deploy geometry (infer/engine.py pipeline_core): detector box
+            # + crop_margin_px on every side, clipped to the frame
+            m = self.selflabel_margin
+            x0 = int(np.clip(det_box[0] - m, 0, w))
+            y0 = int(np.clip(det_box[1] - m, 0, h))
+            x1 = int(np.clip(det_box[2] + m, 0, w))
+            y1 = int(np.clip(det_box[3] + m, 0, h))
+            if x1 - x0 < 8 or y1 - y0 < 8:   # degenerate box: GT fallback
+                det_box = None
+        if det_box is None:
+            if self.mode == 'train':
+                from .dataset import jitter_margins
+                ml, mt, mr, mb = jitter_margins(self.scene.seed, idx,
+                                                self._epoch)
+            else:
+                ml = mt = mr = mb = 10.0
+            x0 = int(np.clip(clipped[:, 0].min() - ml, 0, w))
+            y0 = int(np.clip(clipped[:, 1].min() - mt, 0, h))
+            x1 = int(np.clip(clipped[:, 0].max() + mr, 0, w))
+            y1 = int(np.clip(clipped[:, 1].max() + mb, 0, h))
         crop_img = s['img'][y0:y1, x0:x1]
         crop_kps = clipped - np.asarray([x0, y0], np.float32)
+        if det_box is not None:
+            # a detector box may truncate the object; the regressor's
+            # sigmoid output lives in the crop, so clip labels into it —
+            # the best attainable prediction at deploy time
+            crop_kps = np.stack(
+                [np.clip(crop_kps[:, 0], 0, x1 - x0),
+                 np.clip(crop_kps[:, 1], 0, y1 - y0)], axis=1)
         th, tw = self.resize
         ch, cw = crop_img.shape[:2]
         resized = cv.resize(crop_img, (tw, th),
