@@ -183,3 +183,64 @@ class TestDatasets:
             np.frombuffer(feats['image/encoded']['bytes'][0], np.uint8),
             cv.IMREAD_COLOR)
         assert img.shape == (120, 160, 3)
+
+
+class TestTFRecordWire:
+    """The shard wire format itself (ADVICE r2: real masked CRC32C so the
+    VENDOR reader — tf.data.TFRecordDataset, which verifies the length CRC
+    — consumes our shards, not only the repo's tolerant reader)."""
+
+    def test_crc32c_check_value(self):
+        from tpudet3d.core.crc32c import crc32c, masked_crc32c
+        # the CRC-32C check value (RFC 3720 appendix) + a masking pin
+        assert crc32c(b'123456789') == 0xE3069283
+        assert crc32c(b'') == 0
+        assert masked_crc32c(b'123456789') == (
+            (((0xE3069283 >> 15) | (0xE3069283 << 17)) + 0xa282ead8)
+            & 0xFFFFFFFF)
+
+    def test_reader_verifies_crc(self, tmp_path):
+        from tpudet3d.eval.protocol import read_tfrecord
+        write_eval_shards(str(tmp_path), ['cup'], per_class=2,
+                          frame_hw=(120, 160), seed=9)
+        shard = str(tmp_path / 'cup' / 'shard-00000')
+        assert len(list(read_tfrecord(shard, verify_crc=True))) == 2
+        # flip one payload byte -> data CRC must catch it
+        blob = bytearray(open(shard, 'rb').read())
+        blob[40] ^= 0xFF
+        bad = tmp_path / 'cup' / 'bad'
+        bad.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match='CRC'):
+            list(read_tfrecord(str(bad), verify_crc=True))
+
+    def test_vendor_reader_consumes_shards(self, tmp_path):
+        """End-to-end vendor-parity: tf.data.TFRecordDataset +
+        tf.train.Example.FromString (exactly the reference ingestion,
+        objectron_eval.py:273-275 and :88) read our shards and see the
+        same features our pure-python reader decodes."""
+        tf = pytest.importorskip('tensorflow')
+        from tpudet3d.eval.protocol import read_tfrecord, parse_example
+        write_eval_shards(str(tmp_path), ['shoe'], per_class=2,
+                          frame_hw=(120, 160), seed=13)
+        shard = str(tmp_path / 'shoe' / 'shard-00000')
+        vendor = [r.numpy() for r in tf.data.TFRecordDataset([shard])]
+        ours = list(read_tfrecord(shard, verify_crc=True))
+        assert len(vendor) == 2
+        for v, o in zip(vendor, ours):
+            assert v == o
+            ex = tf.train.Example.FromString(v)
+            feats = ex.features.feature
+            mine = parse_example(o)
+            n = feats['instance_num'].int64_list.value[0]
+            assert n == mine['instance_num']['ints'][0]
+            np.testing.assert_allclose(
+                list(feats['point_2d'].float_list.value),
+                mine['point_2d']['floats'])
+            np.testing.assert_allclose(
+                list(feats['point_3d'].float_list.value),
+                mine['point_3d']['floats'])
+            np.testing.assert_allclose(
+                list(feats['plane/center'].float_list.value),
+                mine['plane/center']['floats'])
+            assert feats['image/encoded'].bytes_list.value[0] == \
+                mine['image/encoded']['bytes'][0]

@@ -59,11 +59,15 @@ class Objectron:
     """Map-style dataset over the converted COCO annotations."""
 
     def __init__(self, root_folder, mode='train', resize=(224, 224),
-                 debug_mode=False, category_list='all', crop_jitter=False):
+                 debug_mode=False, category_list='all', crop_jitter=False,
+                 seed=0):
         self.root_folder = str(root_folder)
         self.mode = mode
         self.resize = tuple(resize)
         self.debug_mode = debug_mode
+        # threaded into jitter_margins so configured seeds actually vary
+        # the jitter stream (SceneCrops threads its scene seed the same way)
+        self.seed = int(seed)
         # Opt-in (config data.crop_jitter): jitter the train-crop margin
         # around the reference's fixed 10 px so deployment crops from noisy
         # detector boxes stay in-distribution (cf. SceneCrops; the engine's
@@ -113,7 +117,7 @@ class Objectron:
             from ..utils.drawing import draw_kp
             draw_kp(image, kps, f'image_before_pipeline_{idx}.jpg',
                     normalized=False, RGB=False)
-        margins = (jitter_margins(0, idx, self._epoch)
+        margins = (jitter_margins(self.seed, idx, self._epoch)
                    if self.crop_jitter else None)
         crop_kps, crop_img, crop_cords = self.crop(image, kps, margins)
         # host resize to the static target; kps follow

@@ -75,11 +75,11 @@ class BatchLoader:
         self._true_tail = rem if rem else self.batch_size
         return batches
 
-    def _assemble(self, indices):
+    def _assemble(self, indices, epoch):
         items = [self.dataset[int(i)] for i in indices]
         if self.host_transform is not None:
             items = [
-                (*self.host_transform(self._epoch, int(i), it[0], it[1]),
+                (*self.host_transform(epoch, int(i), it[0], it[1]),
                  *it[2:])
                 for i, it in zip(indices, items)]
         imgs = np.stack([it[0] for it in items])
@@ -89,15 +89,21 @@ class BatchLoader:
 
     def __iter__(self):
         batches = self._index_batches()
+        # one 0-based epoch value for BOTH consumers (dataset crop jitter
+        # via set_epoch AND host-transform aug draws), captured locally so
+        # workers of an abandoned iterator never read the next epoch's
+        # value from the mutable attribute
+        epoch = self._epoch
         if hasattr(self.dataset, 'set_epoch'):
-            self.dataset.set_epoch(self._epoch)
+            self.dataset.set_epoch(epoch)
         self._epoch += 1
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                futures = [pool.submit(self._assemble, b) for b in batches]
+                futures = [pool.submit(self._assemble, b, epoch)
+                           for b in batches]
                 for i, fut in enumerate(futures):
                     if stop.is_set():
                         for f in futures[i:]:
@@ -123,7 +129,7 @@ class BatchLoader:
             thread.join(timeout=5)
 
 
-def _make_dataset(config, mode):
+def _make_dataset(config, mode, seed=0):
     resize = tuple(config.data.resize)
     synthetic = config.data.get('synthetic', False)
     if synthetic == 'scene':
@@ -152,7 +158,8 @@ def _make_dataset(config, mode):
                                   category_list=config.data.category_list)
     return Objectron(config.data.root, mode=mode, resize=resize,
                      category_list=config.data.category_list,
-                     crop_jitter=bool(config.data.get('crop_jitter', False)))
+                     crop_jitter=bool(config.data.get('crop_jitter', False)),
+                     seed=seed)
 
 
 def build_loader(config, seed=0):
@@ -161,16 +168,16 @@ def build_loader(config, seed=0):
     from .host_transforms import build_host_pipeline
     host_train = build_host_pipeline(config.train_data_pipeline or [],
                                      seed=seed)
-    train = BatchLoader(_make_dataset(config, 'train'),
+    train = BatchLoader(_make_dataset(config, 'train', seed=seed),
                         int(config.data.train_batch_size), shuffle=True,
                         drop_last=True,
                         num_threads=int(config.data.num_workers or 4),
                         seed=seed, host_transform=host_train)
-    val = BatchLoader(_make_dataset(config, 'val'),
+    val = BatchLoader(_make_dataset(config, 'val', seed=seed),
                       int(config.data.val_batch_size), shuffle=True,
                       num_threads=int(config.data.num_workers or 4),
                       seed=seed + 1)
-    test = BatchLoader(_make_dataset(config, 'test'),
+    test = BatchLoader(_make_dataset(config, 'test', seed=seed),
                        int(config.data.val_batch_size), shuffle=False,
                        num_threads=int(config.data.num_workers or 4),
                        seed=seed + 2)

@@ -429,8 +429,14 @@ def _example(features):
 
 def write_eval_shards(out_dir, classes, per_class=32, frame_hw=(480, 640),
                       seed=51, min_objects=1, max_objects=3):
-    """Write per-class TFRecord shards consumable by scripts/objectron_eval.py
-    (and by the real vendor protocol: same feature keys/types)."""
+    """Write per-class TFRecord shards with the feature keys/types read by
+    scripts/objectron_eval.py (image/encoded, point_2d, point_3d,
+    instance_num, object/visibility, plane/*).  The wire framing carries
+    real masked CRC32C checksums, so tf.data.TFRecordDataset (the vendor
+    reader, reference objectron_eval.py:273-275) consumes these shards too
+    — pinned by tests/test_synthetic_scene.py.  Camera-projection features
+    (the vendor encoder's parse_camera keys) are NOT written: nothing in
+    either protocol CLI consumes them on these normalized-camera scenes."""
     import os
     import os.path as osp
     for ci, cls in enumerate(classes):
@@ -463,7 +469,5 @@ def write_eval_shards(out_dir, classes, per_class=32, frame_hw=(480, 640),
                     'plane/center': _feat_floats(s['plane'][0].tolist()),
                     'plane/normal': _feat_floats(s['plane'][1].tolist()),
                 })
-                f.write(struct.pack('<Q', len(ex)))
-                f.write(b'\x00' * 4)
-                f.write(ex)
-                f.write(b'\x00' * 4)
+                from ..core.crc32c import tfrecord_frame
+                f.write(tfrecord_frame(ex))

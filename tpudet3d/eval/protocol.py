@@ -371,8 +371,13 @@ class ObjectronProtocolEvaluator:
 
 # --- TFRecord + tf.train.Example parsing (no TensorFlow) -------------------
 
-def read_tfrecord(path):
-    """Yield raw record payloads from a TFRecord file (CRCs skipped)."""
+def read_tfrecord(path, verify_crc=False):
+    """Yield raw record payloads from a TFRecord file.
+
+    By default CRCs are skipped (tolerant reader, matches tf.data's
+    default-off experimental_deterministic checksum behavior for speed);
+    ``verify_crc=True`` checks both masked CRC32C fields exactly like
+    tf.data.TFRecordDataset does and raises ValueError on corruption."""
     with open(path, 'rb') as f:
         while True:
             header = f.read(12)
@@ -380,9 +385,17 @@ def read_tfrecord(path):
                 return
             (length,) = struct.unpack('<Q', header[:8])
             payload = f.read(length)
-            f.read(4)  # data crc
+            data_crc = f.read(4)
             if len(payload) < length:
                 return
+            if verify_crc:
+                from ..core.crc32c import masked_crc32c
+                (lcrc,) = struct.unpack('<I', header[8:12])
+                if lcrc != masked_crc32c(header[:8]):
+                    raise ValueError(f'{path}: bad length CRC')
+                (dcrc,) = struct.unpack('<I', data_crc)
+                if dcrc != masked_crc32c(payload):
+                    raise ValueError(f'{path}: bad data CRC')
             yield payload
 
 

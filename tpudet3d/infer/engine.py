@@ -144,7 +144,11 @@ class TwoStageEngine:
 
         # public callables keep the (frame, h, w[, margin]) signature used
         # by bench.py and the sweep scripts; weights injected per call
-        def pipeline(frame_u8, h, w, margin=cfg.crop_margin_px):
+        def pipeline(frame_u8, h, w, margin=None):
+            # resolve at CALL time so cfg.crop_margin_px mutations after
+            # construction are honored (bench/sweep callers omit margin)
+            if margin is None:
+                margin = self.cfg.crop_margin_px
             return jit_one(self.det_vars, self.reg_vars, frame_u8,
                            h=h, w=w, margin=margin)
 
