@@ -81,8 +81,10 @@ def main():
     # mean 3D IoU / mean 2D error per class
     print('\n=== protocol summary (trained two-stage, synthetic scenes) ===')
     header = f'{"class":<12} {"AP@IoU0.5":>10} {"AP@ADD0.1":>10} ' \
-             f'{"mean3DIoU":>10} {"mean2Derr":>10} {"matched":>9}'
+             f'{"dedupIoU0.5":>11} {"mean3DIoU":>10} {"mean2Derr":>10} ' \
+             f'{"matched":>9}'
     print(header)
+    sums = [0.0, 0.0, 0.0, 0.0]
     for cls in classes:
         path = osp.join(report_dir, f'report_{cls}.txt')
         with open(path) as f:
@@ -92,11 +94,20 @@ def main():
             return [float(v) for v in re.findall(r'-?\d+\.\d+', line)]
         ap_iou = arr('AP @3D IoU')[10]
         ap_add = arr('AP @ADD')[2]
+        # dedup variant (best prediction per GT): bounded to [0,1], so the
+        # vendor artifact of duplicate detections can't inflate the mean
+        ap_iou_dd = arr('AP Dedup @3D IoU')[10]
         mean_iou = float(re.search(r'Mean 3D IoU: ([-\d.e]+)', text).group(1))
         mean_2d = float(re.search(r'Mean Error 2D: ([-\d.e]+)', text).group(1))
         matched = re.search(r'matched (\d+/\d+)', text).group(1)
         print(f'{cls:<12} {ap_iou:>10.3f} {ap_add:>10.3f} '
-              f'{mean_iou:>10.3f} {mean_2d:>10.4f} {matched:>9}')
+              f'{ap_iou_dd:>11.3f} {mean_iou:>10.3f} {mean_2d:>10.4f} '
+              f'{matched:>9}')
+        for i, v in enumerate((ap_iou, ap_add, ap_iou_dd, mean_iou)):
+            sums[i] += v
+    n = max(len(classes), 1)
+    print(f'{"MEAN":<12} {sums[0] / n:>10.3f} {sums[1] / n:>10.3f} '
+          f'{sums[2] / n:>11.3f} {sums[3] / n:>10.3f}')
 
 
 if __name__ == '__main__':

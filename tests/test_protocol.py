@@ -106,16 +106,23 @@ def square_kps(cx, cy, half=0.1):
 
 class TestMatchBox:
 
-    def test_matches_best_extent_iou(self):
+    def test_matches_nearest_by_keypoint_norm(self):
         gts = [square_kps(0.3, 0.5), square_kps(0.7, 0.5)]
         vis = [1.0, 1.0]
         assert match_box(square_kps(0.31, 0.5), gts, vis) == 0
         assert match_box(square_kps(0.69, 0.5), gts, vis) == 1
 
-    def test_rejects_low_iou_and_low_visibility(self):
+    def test_wild_prediction_still_matches_nearest(self):
+        # published semantics: no overlap floor — "we always assume a match
+        # for a prediction"; a wild box matches its nearest visible GT and
+        # records its (terrible) true metrics instead of the sentinels
         gts = [square_kps(0.3, 0.5), square_kps(0.7, 0.5)]
-        assert match_box(square_kps(0.05, 0.05), gts, [1., 1.]) == -1
+        assert match_box(square_kps(0.05, 0.05), gts, [1., 1.]) == 0
+
+    def test_rejects_low_visibility_and_empty(self):
+        gts = [square_kps(0.3, 0.5), square_kps(0.7, 0.5)]
         assert match_box(square_kps(0.3, 0.5), gts, [0.01, 1.]) == -1
+        assert match_box(square_kps(0.3, 0.5), [], []) == -1
 
     def test_extent_iou_value(self):
         a = square_kps(0.5, 0.5, 0.1)      # [0.4,0.6]^2
@@ -127,62 +134,81 @@ class TestMatchBox:
 class TestEvaluatorGolden:
     """Hand-computed golden AP values for the vendor-exact loop.
 
-    Setup: 2 GT boxes (0.4-cube at (0,0,-2) and (1,0,-3)), 3 predictions:
+    Setup: 3 GT instances — two visible 0.4-cubes at (0,0,-2) and (1,0,-3),
+    plus an INVISIBLE (vis=0) instance near the garbage prediction so the
+    published nearest-match semantics still yield an unmatched prediction —
+    and 3 predictions:
       pred0 = GT0 exactly                       (iou 1, pixel 0, add 0)
       pred1 = GT1 shifted +0.1 in x, 2D +0.05   (iou 0.048/0.080 = 0.6,
                                                  pixel 0.05, add 0.1)
-      pred2 = garbage far away in 2D            (unmatched → sentinels)
-    One example, 2 instances, 3 recorded predictions.
+      pred2 = garbage, nearest GT2 (invisible)  (match_box −1 → sentinels)
+    One example, 3 annotated instances (2 visible), 3 recorded predictions.
+    The AP denominator is ALL 3 annotated instances (vendor appends
+    len(instances), not the visible count).
     """
 
     def _run(self):
         ev = ObjectronProtocolEvaluator()
         gt3d0 = box_kps(np.asarray([0., 0., -2.]), np.asarray([.2, .2, .2]))
         gt3d1 = box_kps(np.asarray([1., 0., -3.]), np.asarray([.2, .2, .2]))
+        gt3d2 = box_kps(np.asarray([-1., 1., -4.]), np.asarray([.2] * 3))
         gt2d0 = square_kps(0.3, 0.5)
         gt2d1 = square_kps(0.7, 0.5)
+        gt2d2 = square_kps(0.05, 0.05)
         pred3d1 = gt3d1 + np.asarray([0.1, 0., 0.])
         pred2d1 = gt2d1 + np.asarray([0.05, 0.])
         garbage2d = square_kps(0.02, 0.02, 0.01)
         garbage3d = box_kps(np.asarray([5., 5., -9.]), np.asarray([.2] * 3))
         ev.evaluate_example(
             [gt2d0, pred2d1, garbage2d], [gt3d0, pred3d1, garbage3d],
-            [gt2d0, gt2d1], [gt3d0, gt3d1],
-            visibilities=np.asarray([1.0, 1.0]))
+            [gt2d0, gt2d1, gt2d2], [gt3d0, gt3d1, gt3d2],
+            visibilities=np.asarray([1.0, 1.0, 0.0]))
         ev.finalize()
         return ev
 
     def test_matched_count(self):
         ev = self._run()
         assert ev._matched == 2
-        assert ev._total_gt == 2
+        assert ev._total_gt == 3
 
     def test_ap_iou_bins(self):
         ev = self._run()
-        # bin 0 (t=0): all 3 hit incl. the iou=0 sentinel (vendor quirk:
-        # recall = 3/2 > 1 when predictions outnumber instances) → AP 1.5
-        np.testing.assert_allclose(ev._ap_iou.aps[0], 1.5)
+        # bin 0 (t=0): all 3 hit incl. the iou=0 sentinel → tp=3 fp=0 →
+        # P=1 R=3/3 → AP 1
+        np.testing.assert_allclose(ev._ap_iou.aps[0], 1.0)
         # bin 10 (t=0.5): pred0 (1.0) + pred1 (0.6) hit, garbage miss →
-        # tp=2 fp=1 → P=2/3 R=1 → AP 2/3
-        np.testing.assert_allclose(ev._ap_iou.aps[10], 2 / 3, atol=1e-6)
-        # bin 13 (t=0.65): only pred0 → tp=1 fp=2 → P=1/3 R=1/2 → AP 1/6
-        np.testing.assert_allclose(ev._ap_iou.aps[13], 1 / 6, atol=1e-6)
-        np.testing.assert_allclose(ev._ap_iou.aps[20], 1 / 6, atol=1e-6)
+        # tp=2 fp=1 → P=2/3 R=2/3 → AP (2/3)·(2/3) = 4/9
+        np.testing.assert_allclose(ev._ap_iou.aps[10], 4 / 9, atol=1e-6)
+        # bin 13 (t=0.65): only pred0 → tp=1 fp=2 → P=1/3 R=1/3 → AP 1/9
+        np.testing.assert_allclose(ev._ap_iou.aps[13], 1 / 9, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_iou.aps[20], 1 / 9, atol=1e-6)
 
     def test_ap_pixel_bins(self):
         ev = self._run()
         # errors: 0.0, 0.05, sentinel 20; thresholds linspace(0,20,21)
-        np.testing.assert_allclose(ev._ap_pixel.aps[0], 1 / 6, atol=1e-6)
-        np.testing.assert_allclose(ev._ap_pixel.aps[1], 2 / 3, atol=1e-6)
-        np.testing.assert_allclose(ev._ap_pixel.aps[20], 1.5)  # sentinel hits
+        np.testing.assert_allclose(ev._ap_pixel.aps[0], 1 / 9, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_pixel.aps[1], 4 / 9, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_pixel.aps[20], 1.0)  # sentinel hits
         assert abs(ev._sum_pixel - 0.05) < 1e-9
 
     def test_ap_add_bins(self):
         ev = self._run()
         # adds: 0.0, 0.1, sentinel 1.0; thresholds linspace(0,1,21)
-        np.testing.assert_allclose(ev._ap_add.aps[0], 1 / 6, atol=1e-6)
-        np.testing.assert_allclose(ev._ap_add.aps[3], 2 / 3, atol=1e-6)
-        np.testing.assert_allclose(ev._ap_add.aps[20], 1.5)
+        np.testing.assert_allclose(ev._ap_add.aps[0], 1 / 9, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_add.aps[3], 4 / 9, atol=1e-6)
+        np.testing.assert_allclose(ev._ap_add.aps[20], 1.0)
+
+    def test_vendor_uncapped_recall_with_duplicates(self):
+        """The preserved AP>1 artifact now requires duplicate matches of
+        one GT (every prediction matches SOME instance under the published
+        nearest-match semantics)."""
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.2] * 3))
+        gt2d = square_kps(0.5, 0.5)
+        ev.evaluate_example([gt2d, gt2d], [gt3d, gt3d], [gt2d], [gt3d])
+        ev.finalize()
+        # 2 hits / 1 instance → recall 2 → AP 2 at every satisfied bin
+        np.testing.assert_allclose(ev._ap_iou.aps[10], 2.0)
 
     def test_report_format(self, capsys):
         ev = self._run()
@@ -229,6 +255,60 @@ class TestEvaluatorEdgeCases:
         ev.finalize()
         np.testing.assert_allclose(ev._ap_iou.aps, np.ones(NUM_BINS))
         np.testing.assert_allclose(ev._ap_pixel.aps, np.ones(NUM_BINS))
+
+
+class TestDedupVariant:
+    """Best-prediction-per-GT dedup accumulators (VERDICT r2 item 7): the
+    vendor protocol lets duplicate detections of one GT accumulate hits past
+    the instance count (AP > 1, preserved as the default); the dedup lines
+    bound the headline to [0, 1]."""
+
+    def test_duplicates_inflate_vendor_but_not_dedup(self):
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3] * 3))
+        gt2d = square_kps(0.5, 0.5)
+        # three identical perfect predictions of the single GT
+        ev.evaluate_example([gt2d] * 3, [gt3d] * 3, [gt2d], [gt3d])
+        ev.finalize()
+        # vendor: 3 hits / 1 instance -> uncapped recall -> AP = 3
+        assert ev._ap_iou.aps[10] > 1.0
+        np.testing.assert_allclose(ev._ap_iou_dedup.aps[10], 1.0)
+        np.testing.assert_allclose(ev._ap_add_dedup.aps, np.ones(NUM_BINS))
+
+    def test_dedup_keeps_best_match(self):
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3] * 3))
+        gt2d = square_kps(0.5, 0.5)
+        off3d = gt3d + np.asarray([0.5, 0., 0.])     # low-IoU duplicate
+        off2d = square_kps(0.55, 0.5)
+        # worse duplicate FIRST: selection must be by match quality, not order
+        ev.evaluate_example([off2d, gt2d], [off3d, gt3d], [gt2d], [gt3d])
+        ev.finalize()
+        # dedup keeps the exact prediction -> hit at the strictest IoU bin
+        np.testing.assert_allclose(ev._ap_iou_dedup.aps[-1], 1.0)
+        # vendor curve also counts the off-box duplicate miss at high bins
+        assert ev._ap_iou.aps[-1] < 1.0 or ev._ap_iou.aps[10] > 1.0
+
+    def test_unmatched_still_penalized_in_dedup(self):
+        # under the published nearest-match semantics a prediction is only
+        # unmatched when its nearest GT fails the visibility threshold, so
+        # park an invisible decoy next to the garbage prediction
+        ev = ObjectronProtocolEvaluator()
+        gt3d = box_kps(np.asarray([0., 0., -2.]), np.asarray([.3] * 3))
+        gt2d = square_kps(0.5, 0.5)
+        decoy3d = box_kps(np.asarray([-1., 1., -4.]), np.asarray([.2] * 3))
+        decoy2d = square_kps(0.05, 0.05)
+        garbage2d = square_kps(0.02, 0.02, 0.01)
+        garbage3d = box_kps(np.asarray([5., 5., -9.]), np.asarray([.2] * 3))
+        ev.evaluate_example([gt2d, garbage2d], [gt3d, garbage3d],
+                            [gt2d, decoy2d], [gt3d, decoy3d],
+                            visibilities=np.asarray([1.0, 0.0]))
+        ev.finalize()
+        # garbage → nearest decoy → invisible → unmatched sentinel miss;
+        # the false positive is kept in dedup (only duplicates are dropped):
+        # one example-level PR point, tp=1 fp=1 over 2 instances →
+        # P=1/2 at R=1/2 → AP (1/2)·(1/2) = 0.25 < 1
+        np.testing.assert_allclose(ev._ap_iou_dedup.aps[10], 0.25, atol=1e-6)
 
 
 def _varint(v):
