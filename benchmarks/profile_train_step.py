@@ -48,12 +48,13 @@ def capture(batch, steps):
     return logdir
 
 
-def summarize(logdir, top=25):
+def summarize(logdir, top=25, raw=False):
     """Aggregate self-time per XLA op from the xplane device trace
     ("XLA Ops" line of the /device:TPU plane).  Ops are grouped by HLO
     name with the trailing fusion counter stripped, so all instances of
     e.g. ``fusion.123`` / ``fusion.456`` with the same stem and category
-    report together."""
+    report together.  ``raw=True`` keeps full per-instruction names (with
+    result shapes) so individual hot fusions can be matched to HLO."""
     paths = glob.glob(osp.join(logdir, 'plugins/profile/*/*.xplane.pb'))
     assert paths, f'no xplane under {logdir}'
     import os
@@ -76,8 +77,8 @@ def summarize(logdir, top=25):
             for ev in line.events:
                 name = meta.get(ev.metadata_id, '?')
                 # '%convert_reduce_fusion.12 = (f32[64]...' → stem
-                stem = re.sub(r'\.[0-9]+$', '',
-                              name.split(' = ')[0].lstrip('%'))
+                stem = name if raw else re.sub(
+                    r'\.[0-9]+$', '', name.split(' = ')[0].lstrip('%'))
                 totals[stem] = totals.get(stem, 0) + ev.duration_ps
                 counts[stem] = counts.get(stem, 0) + 1
                 total_ps += ev.duration_ps

@@ -45,12 +45,20 @@ def main():
     ap.add_argument('--per_class', type=int, default=16)
     ap.add_argument('--classes', type=str, nargs='+', default=['all'])
     ap.add_argument('--det_tresh', type=float, default=0.05)
+    ap.add_argument('--reg_config', type=str,
+                    default=osp.join(_ROOT, 'configs', 'scene_regressor.py'),
+                    help='regressor config (snapshot resolved from its '
+                         'output_dir), e.g. configs/scene_regressor_selflabel.py')
+    ap.add_argument('--report_dir', type=str,
+                    default=osp.join(_ROOT, 'output', 'protocol_reports'))
+    ap.add_argument('--refine_passes', type=int, default=0)
+    ap.add_argument('--refine_margin', type=float, default=10.0)
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
 
     det_dir = osp.join(_ROOT, 'output', 'detector_scene')
-    reg_cfg = osp.join(_ROOT, 'configs', 'scene_regressor.py')
+    reg_cfg = args.reg_config
     if not args.skip_train:
         run([sys.executable, 'scripts/train_detector.py',
              '--config', 'configs/detection/mnv2_ssd_300_scene.py'])
@@ -68,14 +76,16 @@ def main():
     from tpudet3d.utils.checkpoint import latest_snapshot
     det_snap = latest_snapshot(det_dir)
     assert det_snap, f'no detector snapshot under {det_dir}'
-    report_dir = osp.join(_ROOT, 'output', 'protocol_reports')
+    report_dir = args.report_dir
     run([sys.executable, 'scripts/objectron_eval.py',
          '--eval_data', shard_dir,
          '--reg_config', reg_cfg,
          '--det_checkpoint', det_snap,
          '--classes', *classes,
          '--report_dir', report_dir,
-         '--det_tresh', str(args.det_tresh)])
+         '--det_tresh', str(args.det_tresh),
+         '--refine_passes', str(args.refine_passes),
+         '--refine_margin', str(args.refine_margin)])
 
     # summary: AP@3D-IoU>=0.5 bin (bin 10 of 21), AP@ADD<=0.1m (bin 2),
     # mean 3D IoU / mean 2D error per class

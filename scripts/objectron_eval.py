@@ -77,11 +77,17 @@ def main():
                         help='frames per fused engine program (same-shape '
                              'shards run batched; mixed shapes fall back '
                              'to per-frame)')
+    parser.add_argument('--refine_passes', type=int, default=0,
+                        help='keypoint-refinement passes in the fused '
+                             'engine (re-crop around predicted extent)')
+    parser.add_argument('--refine_margin', type=float, default=10.0)
     args = parser.parse_args()
 
     from demo import build_engine   # same engine assembly as the demo CLI
     engine = build_engine(args.reg_config, args.det_checkpoint,
-                          args.reg_checkpoint, det_conf=args.det_tresh)
+                          args.reg_checkpoint, det_conf=args.det_tresh,
+                          refine_passes=args.refine_passes,
+                          refine_margin_px=args.refine_margin)
 
     classes = (OBJECTRON_CLASSES if args.classes == ['all'] else args.classes)
     mkdir_if_missing(args.report_dir)

@@ -16,10 +16,16 @@ __all__ = ['crop_and_resize', 'crop_and_resize_gather', 'resize_bilinear',
            'normalize_images']
 
 
-def resize_bilinear(img, out_hw):
-    """[..., H, W, C] → [..., h, w, C] bilinear (align like cv2/jax.image)."""
+def resize_bilinear(img, out_hw, dtype=jnp.float32):
+    """[..., H, W, C] → [..., h, w, C] bilinear (align like cv2/jax.image).
+
+    ``dtype`` is the compute/output dtype: the serving path resizes 720p
+    frames in bfloat16 (integer pixel values ≤255 are exact in bf16; the
+    interpolation rounds at ~0.5 gray-level, below JPEG noise) to halve
+    the HBM traffic of the largest intermediate (measured: the f32 width
+    pass was 15% of the fused serving program, profile_serving.py)."""
     out_shape = img.shape[:-3] + (out_hw[0], out_hw[1], img.shape[-1])
-    return jax.image.resize(img.astype(jnp.float32), out_shape, 'bilinear')
+    return jax.image.resize(img.astype(dtype), out_shape, 'bilinear')
 
 
 def normalize_images(img, mean, std, max_pixel_value=255.0):
@@ -106,6 +112,10 @@ def crop_and_resize(image, boxes, out_hw=(224, 224),
                           preferred_element_type=jnp.float32)
         out = jnp.einsum('qw,pwc->pqc', wx.astype(jnp.float32), rows,
                          preferred_element_type=jnp.float32)
-        return out
+        # accumulate in f32 (preferred_element_type), store crops in the
+        # compute dtype: the [K,224,224,3] intermediate is read once by
+        # the regressor stem, and halving it saves HBM round trips
+        return out.astype(compute_dtype) if compute_dtype != jnp.float32 \
+            else out
 
     return jax.vmap(one)(boxes.astype(jnp.float32))
