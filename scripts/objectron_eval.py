@@ -81,6 +81,11 @@ def main():
                         help='keypoint-refinement passes in the fused '
                              'engine (re-crop around predicted extent)')
     parser.add_argument('--refine_margin', type=float, default=10.0)
+    parser.add_argument('--gt_boxes', action='store_true',
+                        help='DIAGNOSTIC (not the vendor protocol): bypass '
+                             'the detector and crop from GT-keypoint-extent '
+                             '+10px boxes — the stage-2+protocol ceiling, '
+                             'isolating detector-box damage per class')
     args = parser.parse_args()
 
     from demo import build_engine   # same engine assembly as the demo CLI
@@ -88,6 +93,10 @@ def main():
                           args.reg_checkpoint, det_conf=args.det_tresh,
                           refine_passes=args.refine_passes,
                           refine_margin_px=args.refine_margin)
+    gt_box_regressor = None
+    if args.gt_boxes:
+        from tpudet3d.infer.wrappers import Regressor
+        gt_box_regressor = Regressor(engine.reg_model, engine.reg_vars)
 
     classes = (OBJECTRON_CLASSES if args.classes == ['all'] else args.classes)
     mkdir_if_missing(args.report_dir)
@@ -136,7 +145,23 @@ def main():
 
         n_done = 0
         for chunk in stream_chunks():
-            if len(chunk) > 1:
+            if gt_box_regressor is not None:
+                results = []
+                for image, gt2d, _, _, _ in chunk:
+                    h, w = image.shape[:2]
+                    dets = []
+                    for g in gt2d:
+                        ext = g * np.asarray([w, h], np.float32)
+                        lo = np.clip(ext.min(0) - 10.0, 0, [w - 1, h - 1])
+                        hi = np.clip(ext.max(0) + 10.0, 0, [w, h])
+                        dets.append((lo[0], lo[1], hi[0], hi[1], 1.0, 0))
+                    outs = gt_box_regressor.get_detections(image, dets)
+                    results.append({
+                        'boxes': np.asarray([d[:4] for d in dets],
+                                            np.float32),
+                        'kp': np.asarray([o[0] for o in outs], np.float32),
+                    })
+            elif len(chunk) > 1:
                 pad = chunk + chunk[-1:] * (args.batch - len(chunk))
                 results = engine.infer_batch(
                     np.stack([e[0] for e in pad]))[:len(chunk)]

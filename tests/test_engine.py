@@ -79,7 +79,8 @@ class TestEngineDefault:
                                  EngineConfig(det_conf=0.0, max_detections=4,
                                               crop_size=(64, 64),
                                               refine_passes=1,
-                                              refine_margin_px=8.0))(frame)
+                                              refine_margin_px=8.0,
+                                              refine_edge_grow=0.0))(frame)
         b0, k0 = base['boxes'], base['kp']
         assert refined['boxes'].shape == b0.shape
         wh = b0[:, 2:4] - b0[:, 0:2]

@@ -55,6 +55,11 @@ class EngineConfig:
     # _build_pipelines time (construction), not per call.
     refine_passes: int = 0
     refine_margin_px: float = 10.0
+    # Truncation recovery: when pass-1 keypoints press against a crop edge
+    # (the regressor's sigmoid clamps — the true extent is beyond the
+    # box), grow THAT side by this fraction of the box dimension instead
+    # of the fixed margin, so the next pass sees the whole object.
+    refine_edge_grow: float = 0.2
     input_is_bgr: bool = True
     # Downscale frames on HOST before upload (cv2 INTER_AREA), rescaling
     # boxes back to source pixels on output.  The detector consumes 300²
@@ -153,9 +158,19 @@ class TwoStageEngine:
                 wh = boxes[:, 2:4] - boxes[:, 0:2]                # [N,2]
                 kp_px = kp * wh[:, None, :] + boxes[:, None, 0:2]
                 rm = jnp.float32(cfg.refine_margin_px)
-                lo = jnp.clip(jnp.min(kp_px, axis=1) - rm, 0,
+                # edge-clamped keypoints (normalized coords ~0 or ~1) mean
+                # the object extends beyond the crop — grow that side by a
+                # box-proportional step, not just the fixed margin
+                eps = 0.015
+                grow = jnp.float32(cfg.refine_edge_grow) * wh      # [N,2]
+                pad_lo = jnp.where(jnp.min(kp, axis=1) <= eps,
+                                   jnp.maximum(grow, rm), rm)
+                pad_hi = jnp.where(jnp.max(kp, axis=1) >= 1.0 - eps,
+                                   jnp.maximum(grow, rm), rm)
+                lo = jnp.clip(jnp.min(kp_px, axis=1) - pad_lo, 0,
                               frame_lim[:2] - 1)
-                hi = jnp.clip(jnp.max(kp_px, axis=1) + rm, 0, frame_lim[:2])
+                hi = jnp.clip(jnp.max(kp_px, axis=1) + pad_hi, 0,
+                              frame_lim[:2])
                 hi = jnp.maximum(hi, lo + 1.0)   # degenerate-extent guard
                 boxes = jnp.concatenate([lo, hi], axis=-1)
                 kp, reg_labels = regress(boxes)
