@@ -94,6 +94,34 @@ class TestEngineDefault:
         # pass-2 keypoints are normalized to the REFINED boxes
         assert np.all((refined['kp'] >= 0) & (refined['kp'] <= 1))
 
+    def test_refine_boxes_grow_on_clamp(self):
+        """refine_boxes: a side whose keypoints saturate at the crop edge
+        (truncation) grows by edge_grow*box_dim; interior sides get the
+        fixed margin."""
+        from tpudet3d.infer.engine import refine_boxes
+        box = np.asarray([[100., 100., 300., 200.]], np.float32)  # 200x100
+        kp = np.full((1, 9, 2), 0.5, np.float32)
+        kp[0, 0] = (0.0, 0.3)      # saturated at the LEFT edge
+        kp[0, 1] = (0.9, 0.8)      # interior extent elsewhere
+        out = np.asarray(refine_boxes(jnp.asarray(kp), jnp.asarray(box),
+                                      (640, 480), margin_px=10.0,
+                                      edge_grow=0.2))
+        # x-low: kp_px.min = 100; grow = 0.2*200 = 40 > margin → 100-40
+        np.testing.assert_allclose(out[0, 0], 60.0, atol=1e-3)
+        # y-low: kp_px.min = 100 + 0.3*100 = 130; interior → -10
+        np.testing.assert_allclose(out[0, 1], 120.0, atol=1e-3)
+        # x-high: kp_px.max = 100+0.9*200 = 280; interior → +10
+        np.testing.assert_allclose(out[0, 2], 290.0, atol=1e-3)
+        # y-high: kp_px.max = 100+0.8*100 = 180; interior → +10
+        np.testing.assert_allclose(out[0, 3], 190.0, atol=1e-3)
+        # saturation at the high edge grows too, clipped to the frame
+        kp[0, 1] = (0.9, 1.0)
+        out = np.asarray(refine_boxes(jnp.asarray(kp), jnp.asarray(box),
+                                      (640, 480), margin_px=10.0,
+                                      edge_grow=0.2))
+        # y-high: kp_px.max = 200, grow = 0.2*100 = 20 → 220
+        np.testing.assert_allclose(out[0, 3], 220.0, atol=1e-3)
+
 
 @slow
 class TestEngine:

@@ -25,10 +25,36 @@ import numpy as np
 from ..detect import generate_anchors, decode_detections, INPUT_SIZE
 from ..ops.image import crop_and_resize, resize_bilinear
 
-__all__ = ['TwoStageEngine', 'EngineConfig']
+__all__ = ['TwoStageEngine', 'EngineConfig', 'refine_boxes']
 
 REG_MEAN = (0.5931, 0.4690, 0.4229)
 REG_STD = (0.2471, 0.2214, 0.2157)
+
+
+def refine_boxes(kp, boxes, frame_wh, margin_px, edge_grow, eps=0.015):
+    """Next-pass crop boxes from pass-N keypoints.
+
+    kp [N,9,2] normalized to each box; boxes [N,4] xyxy px; frame_wh
+    (w, h).  Box = predicted keypoint extent + margin; any side whose
+    keypoints saturate at the crop edge (<=eps / >=1-eps — the object is
+    truncated there and the regressor's sigmoid clamps) grows by
+    ``edge_grow``·box_dim instead, so the next pass can see past the cut.
+    Pure function so the geometry is unit-testable (tests/test_engine.py).
+    """
+    w, h = frame_wh
+    wh = boxes[:, 2:4] - boxes[:, 0:2]                       # [N,2]
+    kp_px = kp * wh[:, None, :] + boxes[:, None, 0:2]
+    rm = jnp.float32(margin_px)
+    grow = jnp.float32(edge_grow) * wh                       # [N,2]
+    pad_lo = jnp.where(jnp.min(kp, axis=1) <= eps,
+                       jnp.maximum(grow, rm), rm)
+    pad_hi = jnp.where(jnp.max(kp, axis=1) >= 1.0 - eps,
+                       jnp.maximum(grow, rm), rm)
+    lim = jnp.asarray([w, h], jnp.float32)
+    lo = jnp.clip(jnp.min(kp_px, axis=1) - pad_lo, 0, lim - 1)
+    hi = jnp.clip(jnp.max(kp_px, axis=1) + pad_hi, 0, lim)
+    hi = jnp.maximum(hi, lo + 1.0)   # degenerate-extent guard
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 @dataclass
@@ -137,7 +163,6 @@ class TwoStageEngine:
             scale = jnp.asarray(inv_std, jnp.bfloat16)
             offset = jnp.asarray(np.asarray(REG_MEAN) * 255 * inv_std,
                                  jnp.bfloat16)
-            frame_lim = jnp.asarray([w, h, w, h], jnp.float32)
 
             def regress(crop_boxes):
                 crops = crop_and_resize(frame, crop_boxes, cfg.crop_size)
@@ -155,24 +180,9 @@ class TwoStageEngine:
             # (GT keypoint extent ± jitter) instead of the detector's box
             # distribution
             for _ in range(int(cfg.refine_passes)):
-                wh = boxes[:, 2:4] - boxes[:, 0:2]                # [N,2]
-                kp_px = kp * wh[:, None, :] + boxes[:, None, 0:2]
-                rm = jnp.float32(cfg.refine_margin_px)
-                # edge-clamped keypoints (normalized coords ~0 or ~1) mean
-                # the object extends beyond the crop — grow that side by a
-                # box-proportional step, not just the fixed margin
-                eps = 0.015
-                grow = jnp.float32(cfg.refine_edge_grow) * wh      # [N,2]
-                pad_lo = jnp.where(jnp.min(kp, axis=1) <= eps,
-                                   jnp.maximum(grow, rm), rm)
-                pad_hi = jnp.where(jnp.max(kp, axis=1) >= 1.0 - eps,
-                                   jnp.maximum(grow, rm), rm)
-                lo = jnp.clip(jnp.min(kp_px, axis=1) - pad_lo, 0,
-                              frame_lim[:2] - 1)
-                hi = jnp.clip(jnp.max(kp_px, axis=1) + pad_hi, 0,
-                              frame_lim[:2])
-                hi = jnp.maximum(hi, lo + 1.0)   # degenerate-extent guard
-                boxes = jnp.concatenate([lo, hi], axis=-1)
+                boxes = refine_boxes(kp, boxes, (w, h),
+                                     cfg.refine_margin_px,
+                                     cfg.refine_edge_grow)
                 kp, reg_labels = regress(boxes)
             conf_mask = scores > cfg.det_conf
             n = reg_labels.shape[0]
