@@ -191,10 +191,12 @@ class TestEngine:
         captured = {}
         orig = engine._pipeline
 
-        def spy(frame, h, w, margin):
+        def spy(frame, h, w, margin, refine_margin=None):
             captured['margin'] = margin
+            captured['refine_margin'] = refine_margin
             captured['hw'] = (h, w)
-            return orig(frame, h, w, margin=margin)
+            return orig(frame, h, w, margin=margin,
+                        refine_margin=refine_margin)
 
         engine._pipeline = spy
         frame = np.random.RandomState(3).randint(0, 255, (360, 640, 3)) \
@@ -202,6 +204,8 @@ class TestEngine:
         engine.run_async(frame)
         out = engine.wait_and_grab()
         assert captured['margin'] == 5.0
+        # the refinement margin scales to source pixels the same way
+        assert captured['refine_margin'] == 5.0
         assert captured['hw'] == (180, 320)   # uploaded at half resolution
         # boxes come back rescaled to source pixels
         assert np.all(out['boxes'][:, [0, 2]] <= 640 + 1e-3)

@@ -114,7 +114,8 @@ class TwoStageEngine:
     def _build_pipelines(self):
         cfg = self.cfg
 
-        def pipeline_core(det_vars, reg_vars, frame_u8, h, w, margin):
+        def pipeline_core(det_vars, reg_vars, frame_u8, h, w, margin,
+                          refine_margin=None):
             # ``margin`` is in pixels of THIS frame; the host-downscale
             # path passes crop_margin_px / d so the crop geometry stays
             # ±crop_margin_px in SOURCE pixels (the distribution the
@@ -179,9 +180,12 @@ class TwoStageEngine:
             # the final crops sit in the regressor's training distribution
             # (GT keypoint extent ± jitter) instead of the detector's box
             # distribution
+            # refine margin is in pixels of THIS frame too (run_async
+            # passes refine_margin_px / host_downscale, like ``margin``)
+            rm = (cfg.refine_margin_px if refine_margin is None
+                  else refine_margin)
             for _ in range(int(cfg.refine_passes)):
-                boxes = refine_boxes(kp, boxes, (w, h),
-                                     cfg.refine_margin_px,
+                boxes = refine_boxes(kp, boxes, (w, h), rm,
                                      cfg.refine_edge_grow)
                 kp, reg_labels = regress(boxes)
             conf_mask = scores > cfg.det_conf
@@ -196,8 +200,9 @@ class TwoStageEngine:
                 conf_mask.astype(jnp.float32)[:, None]], axis=-1)
             return packed
 
-        jit_one = partial(jax.jit, static_argnames=('h', 'w', 'margin'))(
-            pipeline_core)
+        jit_one = partial(jax.jit,
+                          static_argnames=('h', 'w', 'margin',
+                                           'refine_margin'))(pipeline_core)
 
         @partial(jax.jit, static_argnames=('h', 'w'))
         def jit_batch(det_vars, reg_vars, frames_u8, h, w):
@@ -208,13 +213,16 @@ class TwoStageEngine:
 
         # public callables keep the (frame, h, w[, margin]) signature used
         # by bench.py and the sweep scripts; weights injected per call
-        def pipeline(frame_u8, h, w, margin=None):
+        def pipeline(frame_u8, h, w, margin=None, refine_margin=None):
             # resolve at CALL time so cfg.crop_margin_px mutations after
             # construction are honored (bench/sweep callers omit margin)
             if margin is None:
                 margin = self.cfg.crop_margin_px
+            if refine_margin is None:
+                refine_margin = self.cfg.refine_margin_px
             return jit_one(self.det_vars, self.reg_vars, frame_u8,
-                           h=h, w=w, margin=margin)
+                           h=h, w=w, margin=margin,
+                           refine_margin=refine_margin)
 
         def pipeline_batch(frames_u8, h, w):
             return jit_batch(self.det_vars, self.reg_vars, frames_u8,
@@ -300,7 +308,9 @@ class TwoStageEngine:
         h, w = frame.shape[:2]
         # keep the crop margin fixed in SOURCE pixels under downscaling
         out = self._pipeline(jnp.asarray(frame), h, w,
-                             margin=self.cfg.crop_margin_px / max(d, 1))
+                             margin=self.cfg.crop_margin_px / max(d, 1),
+                             refine_margin=self.cfg.refine_margin_px
+                             / max(d, 1))
         self._pending.append((out, scale))
 
     def wait_and_grab(self):
