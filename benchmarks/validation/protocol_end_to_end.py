@@ -53,6 +53,9 @@ def main():
                     default=osp.join(_ROOT, 'output', 'protocol_reports'))
     ap.add_argument('--refine_passes', type=int, default=0)
     ap.add_argument('--refine_margin', type=float, default=10.0)
+    ap.add_argument('--soft_nms', type=float, default=0.0,
+                    help='gaussian soft-NMS sigma for the detector decode')
+    ap.add_argument('--max_detections', type=int, default=8)
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
@@ -85,7 +88,9 @@ def main():
          '--report_dir', report_dir,
          '--det_tresh', str(args.det_tresh),
          '--refine_passes', str(args.refine_passes),
-         '--refine_margin', str(args.refine_margin)])
+         '--refine_margin', str(args.refine_margin),
+         '--soft_nms', str(args.soft_nms),
+         '--max_detections', str(args.max_detections)])
 
     # summary: AP@3D-IoU>=0.5 bin (bin 10 of 21), AP@ADD<=0.1m (bin 2),
     # mean 3D IoU / mean 2D error per class

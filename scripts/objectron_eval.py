@@ -81,6 +81,14 @@ def main():
                         help='keypoint-refinement passes in the fused '
                              'engine (re-crop around predicted extent)')
     parser.add_argument('--refine_margin', type=float, default=10.0)
+    parser.add_argument('--det_score_thr', type=float, default=0.02,
+                        help='detector decode score floor (pre-NMS); must '
+                             'be <= det_tresh to have predictions survive')
+    parser.add_argument('--soft_nms', type=float, default=0.0,
+                        help='gaussian soft-NMS sigma (0 = hard NMS); '
+                             'occluded same-class objects survive with '
+                             'decayed scores instead of being suppressed')
+    parser.add_argument('--max_detections', type=int, default=8)
     parser.add_argument('--gt_boxes', action='store_true',
                         help='DIAGNOSTIC (not the vendor protocol): bypass '
                              'the detector and crop from GT-keypoint-extent '
@@ -92,7 +100,10 @@ def main():
     engine = build_engine(args.reg_config, args.det_checkpoint,
                           args.reg_checkpoint, det_conf=args.det_tresh,
                           refine_passes=args.refine_passes,
-                          refine_margin_px=args.refine_margin)
+                          refine_margin_px=args.refine_margin,
+                          score_thr=min(args.det_score_thr, args.det_tresh),
+                          soft_nms_sigma=args.soft_nms,
+                          max_detections=args.max_detections)
     gt_box_regressor = None
     if args.gt_boxes:
         from tpudet3d.infer.wrappers import Regressor

@@ -6,8 +6,8 @@ import jax.numpy as jnp
 
 from tpudet3d.detect import (generate_anchors, num_anchors_per_level,
                              encode_boxes, decode_boxes, assign_anchors,
-                             iou_xyxy, greedy_nms, decode_detections,
-                             ssd_loss, SSDDetector)
+                             iou_xyxy, greedy_nms, soft_nms,
+                             decode_detections, ssd_loss, SSDDetector)
 
 
 class TestAnchors:
@@ -68,6 +68,45 @@ class TestNMS:
         scores = jnp.asarray([0.9, 0.8, 0.7])
         keep = np.asarray(greedy_nms(boxes, scores, iou_thr=0.45))
         assert keep.tolist() == [True, False, True]
+
+    def test_soft_nms_decays_instead_of_killing(self):
+        # same geometry as the greedy test: the overlapped box SURVIVES
+        # with a decayed (but nonzero) score; the far box is untouched
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 10.5, 10.5],
+                             [50, 50, 60, 60]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        out = np.asarray(soft_nms(boxes, scores, sigma=0.5))
+        iou = float(iou_xyxy(boxes[:1], boxes[1:2])[0, 0])
+        assert out[0] == 0.9                      # top box undecayed
+        assert np.isclose(out[1], 0.8 * np.exp(-iou ** 2 / 0.5), atol=1e-5)
+        assert out[1] > 0.1                       # survives, unlike hard NMS
+        assert np.isclose(out[2], 0.7, atol=1e-6)  # no overlap → no decay
+
+    def test_soft_nms_zero_scores_stay_zero(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.0])
+        out = np.asarray(soft_nms(boxes, scores, sigma=0.5))
+        assert out[0] == 0.9 and out[1] == 0.0
+
+    def test_decode_detections_soft_nms_keeps_occluded(self):
+        # two heavily-overlapping same-class candidates: hard NMS erases
+        # the second, soft-NMS keeps both above a low floor
+        anchors = jnp.asarray(generate_anchors())
+        A = anchors.shape[0]
+        logits = jnp.full((A, 10), -8.0)
+        # give two nearby anchors confident class-0 logits
+        logits = logits.at[0, 0].set(6.0).at[1, 0].set(5.0)
+        deltas = jnp.zeros((A, 4))
+        hard = np.asarray(decode_detections(
+            logits, deltas, anchors, score_thr=0.01, max_per_img=8,
+            pre_nms_k=16))
+        soft = np.asarray(decode_detections(
+            logits, deltas, anchors, score_thr=0.01, max_per_img=8,
+            pre_nms_k=16, soft_nms_sigma=0.5))
+        iou01 = float(iou_xyxy(anchors[:1], anchors[1:2])[0, 0])
+        if iou01 > 0.45:   # clustered anchors 0,1 overlap at stride 16
+            assert (hard[:, 4] > 0.01).sum() < (soft[:, 4] > 0.01).sum()
+        assert np.all(np.diff(soft[:, 4]) <= 1e-6)   # still score-desc
 
     def test_decode_detections_shapes(self):
         anchors = jnp.asarray(generate_anchors())

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .assigner import iou_xyxy
 from .coder import decode_boxes
 
-__all__ = ['greedy_nms', 'decode_detections']
+__all__ = ['greedy_nms', 'soft_nms', 'decode_detections']
 
 
 def greedy_nms(boxes, scores, iou_thr=0.45, k=None):
@@ -38,11 +38,48 @@ def greedy_nms(boxes, scores, iou_thr=0.45, k=None):
     return keep
 
 
-@partial(jax.jit, static_argnames=('max_per_img', 'pre_nms_k'))
+def soft_nms(boxes, scores, sigma=0.5):
+    """Gaussian soft-NMS (Bodla et al. 2017): decay instead of suppress.
+
+    boxes [K,4], scores [K] → decayed scores [K].  Each round picks the
+    highest-scoring unprocessed box and multiplies every other
+    unprocessed score by ``exp(-iou²/sigma)``; zero scores stay zero.
+    Static-shape ``fori_loop`` twin of ``greedy_nms`` — occluded
+    same-class objects survive with a reduced score instead of being
+    erased, which matters under the Objectron protocol where every
+    missed GT is sentenced with max-error sentinels (the held-out
+    diagnostic measured 12/296 objects lost to hard NMS at score 0.01;
+    BASELINE.md round 3).  Hard NMS (the reference's DetectionOutput
+    semantics, configs/detection/mnv2_ssd_300_2_heads.py:56-60) stays
+    the default."""
+    K = boxes.shape[0]
+    ious = iou_xyxy(boxes, boxes)                     # [K,K]
+
+    def body(_, carry):
+        s, processed = carry
+        masked = jnp.where(processed, -1.0, s)
+        i = jnp.argmax(masked)
+        valid = masked[i] > 0.0
+        decay = jnp.exp(-(ious[i] ** 2) / sigma)
+        decay = jnp.where(processed | ~valid, 1.0, decay).at[i].set(1.0)
+        return s * decay, processed.at[i].set(True)
+
+    out, _ = jax.lax.fori_loop(
+        0, K, body, (scores, jnp.zeros((K,), bool)))
+    return out
+
+
+@partial(jax.jit, static_argnames=('max_per_img', 'pre_nms_k',
+                                   'soft_nms_sigma'))
 def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
-                      iou_thr=0.45, max_per_img=200, pre_nms_k=200):
+                      iou_thr=0.45, max_per_img=200, pre_nms_k=200,
+                      soft_nms_sigma=0.0):
     """Single image: [A,C+1] logits + [A,4] deltas → [max_per_img, 6]
-    (x1,y1,x2,y2,score,label), score-desc, padded with zeros."""
+    (x1,y1,x2,y2,score,label), score-desc, padded with zeros.
+
+    ``soft_nms_sigma > 0`` switches per-class suppression from hard
+    greedy NMS to gaussian soft-NMS (scores decay by overlap; the
+    ``score_thr`` floor re-applies to the decayed scores)."""
     num_classes = cls_logits.shape[-1] - 1
     probs = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]   # [A,C]
     boxes_all = decode_boxes(anchors, bbox_deltas)                 # [A,4]
@@ -52,8 +89,14 @@ def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
         scores = jnp.where(scores > score_thr, scores, 0.0)
         top_scores, top_idx = jax.lax.top_k(scores, pre_nms_k)
         top_boxes = boxes_all[top_idx]
-        keep = greedy_nms(top_boxes, top_scores, iou_thr)
-        kept_scores = jnp.where(keep, top_scores, 0.0)
+        if soft_nms_sigma > 0.0:
+            kept_scores = soft_nms(top_boxes, top_scores,
+                                   sigma=soft_nms_sigma)
+            kept_scores = jnp.where(kept_scores > score_thr,
+                                    kept_scores, 0.0)
+        else:
+            keep = greedy_nms(top_boxes, top_scores, iou_thr)
+            kept_scores = jnp.where(keep, top_scores, 0.0)
         return top_boxes, kept_scores
 
     boxes_c, scores_c = jax.vmap(per_class)(jnp.arange(num_classes))
