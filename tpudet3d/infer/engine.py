@@ -24,6 +24,7 @@ import numpy as np
 
 from ..detect import generate_anchors, decode_detections, INPUT_SIZE
 from ..ops.image import crop_and_resize, resize_bilinear
+from .quant import intercepting
 
 __all__ = ['TwoStageEngine', 'EngineConfig', 'refine_boxes']
 
@@ -63,6 +64,13 @@ class EngineConfig:
     det_conf: float = 0.6
     nms_iou: float = 0.45
     score_thr: float = 0.02
+    # Gaussian soft-NMS sigma; 0 = hard greedy NMS (the reference's
+    # DetectionOutput semantics).  Soft-NMS decays overlapped same-class
+    # scores instead of erasing them: the held-out diagnostic measured
+    # 12/296 protocol objects lost to hard NMS with the detector seeing
+    # all 296 pre-NMS (BASELINE.md round 3) — occluded objects survive
+    # with reduced confidence and can still be matched.
+    soft_nms_sigma: float = 0.0
     crop_size: Tuple[int, int] = (224, 224)
     expand_ratio: Tuple[float, float] = (1.0, 1.0)
     # Fixed pixel margin added around the detector box before cropping.
@@ -87,6 +95,16 @@ class EngineConfig:
     # of the fixed margin, so the next pass sees the whole object.
     refine_edge_grow: float = 0.2
     input_is_bgr: bool = True
+    # Post-training int8 (infer/quant.py): calibrated per-conv-input
+    # activation scales for each stage; None = bf16.  Weight quantization
+    # happens in-graph from the same f32 checkpoint.  v5e's MXU runs
+    # int8×int8→int32 at 2× the bf16 rate; measured accuracy cost on the
+    # trained chain: detector boxes drift p50 0.09 px / p99 1.5 px
+    # (300-space), regressor keypoints mean 0.7 px on the 224 crop
+    # (BASELINE.md round 3) — quantize the detector freely, gate the
+    # regressor on a protocol check.
+    det_int8_scales: Optional[dict] = None
+    reg_int8_scales: Optional[dict] = None
     # Downscale frames on HOST before upload (cv2 INTER_AREA), rescaling
     # boxes back to source pixels on output.  The detector consumes 300²
     # and the crops tolerate ~360p, so factor 2 on 720p cuts H2D bytes 4×
@@ -132,13 +150,15 @@ class TwoStageEngine:
             # stage 1: detector (norm: x/255, config img_norm_cfg)
             det_in = resize_bilinear(frame, (INPUT_SIZE, INPUT_SIZE),
                                      dtype=jnp.bfloat16) / 255.0
-            logits, deltas = self.det_model.apply(det_vars, det_in[None],
-                                                  train=False)
+            with intercepting(cfg.det_int8_scales):
+                logits, deltas = self.det_model.apply(det_vars, det_in[None],
+                                                      train=False)
             dets = decode_detections(logits[0], deltas[0], self.anchors,
                                      score_thr=cfg.score_thr,
                                      iou_thr=cfg.nms_iou,
                                      max_per_img=cfg.max_detections,
-                                     pre_nms_k=max(4 * cfg.max_detections, 32))
+                                     pre_nms_k=max(4 * cfg.max_detections, 32),
+                                     soft_nms_sigma=cfg.soft_nms_sigma)
             boxes300 = dets[:, :4]
             scores = dets[:, 4]
             det_labels = dets[:, 5].astype(jnp.int32)
@@ -168,8 +188,9 @@ class TwoStageEngine:
             def regress(crop_boxes):
                 crops = crop_and_resize(frame, crop_boxes, cfg.crop_size)
                 crops = crops * scale - offset
-                all_kp, cls_logits = self.reg_model.apply(reg_vars, crops,
-                                                          export=True)
+                with intercepting(cfg.reg_int8_scales):
+                    all_kp, cls_logits = self.reg_model.apply(reg_vars, crops,
+                                                              export=True)
                 # pick the head of the predicted class
                 # (ie_wrappers.py:138-142)
                 labels = jnp.argmax(cls_logits, axis=-1)          # [N]
