@@ -130,6 +130,26 @@ def measure_tpu(n_iters=50, server_batches=(16, 32)):
     best_batch = max(per_batch, key=lambda b: per_batch[b]['median_fps'])
     server_fps = per_batch[best_batch]['median_fps']
 
+    # int8 PTQ server mode (infer/quant.py): both stages through the v5e
+    # int8 MXU path at the best bf16 batch.  Reported as an extra; the
+    # graded headline stays the bf16 path until the int8 chain is
+    # protocol-validated end to end.
+    from tpudet3d.infer.quant import calibrate_engine
+    ds, rs = calibrate_engine(engine, frame[None])
+    engine.cfg.det_int8_scales, engine.cfg.reg_int8_scales = ds, rs
+    engine._build_pipelines()
+    frames = np.random.randint(0, 255,
+                               (best_batch, *FRAME_SHAPE)).astype(np.uint8)
+    engine.infer_batch(frames)         # compile the int8 batched program
+    frames_dev = jax.device_put(jnp.asarray(frames))
+    out = engine._pipeline_batch(frames_dev, h, w)
+    jax.block_until_ready(out)
+    int8_fps, int8_band = _timed_fps(
+        lambda: engine._pipeline_batch(frames_dev, h, w), n_iters,
+        best_batch)
+    engine.cfg.det_int8_scales = engine.cfg.reg_int8_scales = None
+    engine._build_pipelines()
+
     # streaming: single frame chained
     frame_dev = jax.device_put(frame)
     out = engine._pipeline(frame_dev, h, w)
@@ -168,6 +188,7 @@ def measure_tpu(n_iters=50, server_batches=(16, 32)):
     return {
         'server_fps': server_fps, 'server_batch': best_batch,
         'server_per_batch': per_batch,
+        'int8_fps': int8_fps, 'int8_band': int8_band,
         'streaming_fps': streaming_fps, 'streaming_band': streaming_band,
         'host_fps': host_fps, 'host_band': host_band,
         'host_ds_fps': host_ds_fps, 'host_ds_band': host_ds_band,
@@ -193,6 +214,8 @@ def main():
         'server_per_batch': {str(b): {'median_fps': round(v['median_fps'], 1),
                                       'spread': _band(v['spread'])}
                              for b, v in m['server_per_batch'].items()},
+        'int8_server_fps': round(m['int8_fps'], 2),
+        'int8_server_spread': _band(m['int8_band']),
         'streaming_single_frame_fps': round(m['streaming_fps'], 2),
         'streaming_spread': _band(m['streaming_band']),
         'host_included_fps_via_41MBps_tunnel': round(m['host_fps'], 2),

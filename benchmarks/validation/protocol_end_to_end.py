@@ -56,6 +56,8 @@ def main():
     ap.add_argument('--soft_nms', type=float, default=0.0,
                     help='gaussian soft-NMS sigma for the detector decode')
     ap.add_argument('--max_detections', type=int, default=8)
+    ap.add_argument('--int8', action='store_true',
+                    help='serve through the int8 PTQ path')
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
@@ -90,7 +92,8 @@ def main():
          '--refine_passes', str(args.refine_passes),
          '--refine_margin', str(args.refine_margin),
          '--soft_nms', str(args.soft_nms),
-         '--max_detections', str(args.max_detections)])
+         '--max_detections', str(args.max_detections)]
+        + (['--int8'] if args.int8 else []))
 
     # summary: AP@3D-IoU>=0.5 bin (bin 10 of 21), AP@ADD<=0.1m (bin 2),
     # mean 3D IoU / mean 2D error per class

@@ -159,6 +159,9 @@ def main():
                         help='downscale frames on host before upload '
                              '(cuts H2D bytes by factor^2; boxes are '
                              'rescaled to source pixels)')
+    parser.add_argument('--int8', action='store_true',
+                        help='serve both stages through the int8 PTQ path, '
+                             'calibrated on the first captured frame')
     args = parser.parse_args()
 
     if args.cam_id >= 0:
@@ -173,6 +176,16 @@ def main():
     engine = build_engine(args.reg_config, args.det_checkpoint,
                           args.reg_checkpoint, det_conf=args.det_tresh,
                           host_downscale=args.host_downscale)
+    if args.int8:
+        from tpudet3d.infer.quant import calibrate_engine
+        ok, first = cap.read()
+        assert ok, '--int8: could not read a calibration frame'
+        ds, rs = calibrate_engine(engine, [cv.resize(first,
+                                                     tuple(args.resolution))])
+        engine.cfg.det_int8_scales = ds
+        engine.cfg.reg_int8_scales = rs
+        engine._build_pipelines()
+        print(f'int8: calibrated {len(ds)}+{len(rs)} convs')
     tracker = IOUTracker(**asdict(IOUTrackerConfig()))
     run(cap, engine, tracker, args.write_video, tuple(args.resolution),
         benchmark=args.benchmark, max_frames=args.max_frames)

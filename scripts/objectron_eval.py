@@ -89,6 +89,12 @@ def main():
                              'occluded same-class objects survive with '
                              'decayed scores instead of being suppressed')
     parser.add_argument('--max_detections', type=int, default=8)
+    parser.add_argument('--int8', action='store_true',
+                        help='serve both stages through the int8 PTQ path '
+                             '(infer/quant.py), self-calibrated on the '
+                             'first frame of each class shard')
+    parser.add_argument('--int8_calib', type=int, default=9,
+                        help='number of calibration frames for --int8')
     parser.add_argument('--gt_boxes', action='store_true',
                         help='DIAGNOSTIC (not the vendor protocol): bypass '
                              'the detector and crop from GT-keypoint-extent '
@@ -110,6 +116,28 @@ def main():
         gt_box_regressor = Regressor(engine.reg_model, engine.reg_vars)
 
     classes = (OBJECTRON_CLASSES if args.classes == ['all'] else args.classes)
+
+    if args.int8:
+        from tpudet3d.infer.quant import calibrate_engine
+        calib = []
+        for category in classes:
+            for shard in sorted(glob.glob(
+                    osp.join(args.eval_data, category, '*')))[:1]:
+                for payload in read_tfrecord(shard):
+                    image, gt2d, _, _, _ = decode_example(payload)
+                    if image is not None and len(gt2d):
+                        calib.append(image)
+                        break
+                break
+            if len(calib) >= args.int8_calib:
+                break
+        assert calib, '--int8: no calibration frames found in eval shards'
+        det_scales, reg_scales = calibrate_engine(engine, calib)
+        engine.cfg.det_int8_scales = det_scales
+        engine.cfg.reg_int8_scales = reg_scales
+        engine._build_pipelines()
+        print(f'int8: calibrated {len(det_scales)}+{len(reg_scales)} convs '
+              f'on {len(calib)} frames')
     mkdir_if_missing(args.report_dir)
 
     for category in classes:

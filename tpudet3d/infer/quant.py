@@ -54,27 +54,65 @@ def _conv_path(ctx) -> Optional[str]:
     return '/'.join(str(p) for p in m.path)
 
 
+def _flatten_stats(tree, prefix=()) -> Dict[str, float]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten_stats(v, prefix + (k,)))
+        else:
+            # sow leaf: named 'absmax', value possibly a 1-tuple
+            val = v[0] if isinstance(v, (tuple, list)) else v
+            out['/'.join(prefix)] = float(np.asarray(val))
+    return out
+
+
 def calibrate(model, variables, batches: Iterable, method: str = 'absmax',
               **apply_kwargs) -> Dict[str, float]:
-    """Run ``model.apply(variables, *batch)`` eagerly over ``batches`` and
-    return {conv_path: input_absmax}.  ``batches`` is an iterable of arg
-    tuples (each as passed to apply).  ``method='absmax'`` tracks the
-    running max of per-batch absolute maxima; 'p999' uses the 99.9th
-    percentile of |x| per batch (robust to single-pixel outliers)."""
+    """Run the model over ``batches`` (an iterable of apply-arg tuples)
+    and return {conv_path: input_absmax}.
+
+    ``method='absmax'`` (default) records each conv input's |x| max by
+    ``sow``-ing it into a ``quant_stats`` collection inside ONE jitted
+    forward per batch — a single device dispatch, so calibration is
+    usable even through a high-RTT host↔device link.  ``method='p999'``
+    (99.9th percentile, robust to single-pixel outliers) needs the full
+    activations on host and therefore runs eagerly — use it on CPU."""
     stats: Dict[str, float] = {}
+
+    if method == 'p999':
+        def recorder(next_fun, args, kwargs, ctx):
+            path = _conv_path(ctx)
+            if path is not None and args:
+                x = np.asarray(jax.device_get(args[0]), np.float32)
+                v = float(np.percentile(np.abs(x), 99.9))
+                stats[path] = max(stats.get(path, 0.0), v)
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(recorder):
+            for batch in batches:
+                model.apply(variables, *batch, **apply_kwargs)
+        return stats
 
     def recorder(next_fun, args, kwargs, ctx):
         path = _conv_path(ctx)
         if path is not None and args:
-            x = np.asarray(jax.device_get(args[0]), np.float32)
-            v = (float(np.abs(x).max()) if method == 'absmax'
-                 else float(np.percentile(np.abs(x), 99.9)))
-            stats[path] = max(stats.get(path, 0.0), v)
+            ctx.module.sow('quant_stats', 'absmax',
+                           jnp.max(jnp.abs(args[0].astype(jnp.float32))),
+                           init_fn=lambda: jnp.float32(0.0),
+                           reduce_fn=jnp.maximum)
         return next_fun(*args, **kwargs)
 
-    with nn.intercept_methods(recorder):
-        for batch in batches:
-            model.apply(variables, *batch, **apply_kwargs)
+    @jax.jit
+    def run(variables, *batch):
+        with nn.intercept_methods(recorder):
+            _, mut = model.apply(variables, *batch,
+                                 mutable=['quant_stats'], **apply_kwargs)
+        return mut['quant_stats']
+
+    for batch in batches:
+        flat = _flatten_stats(jax.device_get(run(variables, *batch)))
+        for k, v in flat.items():
+            stats[k] = max(stats.get(k, 0.0), v)
     return stats
 
 
@@ -156,15 +194,15 @@ def calibrate_engine(engine, frames, method: str = 'absmax'):
     regressor — infer/engine.py pipeline_core) so the recorded absmax
     matches what the fused program will feed each conv.  Run on CPU:
     eager per-op dispatch through the TPU tunnel pays RTT per op, and
-    the weights are identical.  frames: [N,H,W,3] uint8."""
+    the weights are identical.  frames: [N,H,W,3] uint8 array or a list
+    of HWC uint8 frames (mixed shapes fine — eval shards vary)."""
     from ..detect import generate_anchors, decode_detections, INPUT_SIZE
     from ..ops.image import crop_and_resize, resize_bilinear
     from .engine import REG_MEAN, REG_STD
 
     cfg = engine.cfg
-    frames = np.asarray(frames)
-    n, h, w = frames.shape[:3]
-    rgb = frames[..., ::-1] if cfg.input_is_bgr else frames
+    rgb = [np.asarray(f)[..., ::-1] if cfg.input_is_bgr else np.asarray(f)
+           for f in frames]
     det_in = jnp.stack([
         resize_bilinear(jnp.asarray(f), (INPUT_SIZE, INPUT_SIZE),
                         dtype=jnp.float32) / 255.0 for f in rgb])
@@ -174,11 +212,12 @@ def calibrate_engine(engine, frames, method: str = 'absmax'):
     logits, deltas = engine.det_model.apply(engine.det_vars, det_in,
                                             train=False)
     anchors = jnp.asarray(generate_anchors())
-    scale = np.asarray([w / INPUT_SIZE, h / INPUT_SIZE] * 2, np.float32)
     mean = np.asarray(REG_MEAN, np.float32) * 255.0
     std = np.asarray(REG_STD, np.float32) * 255.0
     crop_batches = []
-    for i in range(n):
+    for i, f in enumerate(rgb):
+        h, w = f.shape[:2]
+        scale = np.asarray([w / INPUT_SIZE, h / INPUT_SIZE] * 2, np.float32)
         dets = np.asarray(decode_detections(
             logits[i], deltas[i], anchors, score_thr=cfg.score_thr,
             iou_thr=cfg.nms_iou, max_per_img=cfg.max_detections,
@@ -190,13 +229,17 @@ def calibrate_engine(engine, frames, method: str = 'absmax'):
         m = float(cfg.crop_margin_px)
         boxes = np.clip(boxes + np.asarray([-m, -m, m, m], np.float32),
                         0, np.asarray([w, h, w, h], np.float32))
-        crops = crop_and_resize(jnp.asarray(rgb[i]), jnp.asarray(boxes),
+        crops = crop_and_resize(jnp.asarray(f), jnp.asarray(boxes),
                                 cfg.crop_size)
         crop_batches.append((np.asarray(crops, np.float32) - mean) / std)
     if not crop_batches:
-        raise ValueError('calibrate_engine: no detections above det_conf '
-                         'on the calibration frames — lower det_conf or '
-                         'use more representative frames')
+        # no confident detections on the calibration frames: quantize the
+        # detector only; an empty scales dict leaves the regressor in bf16
+        # (intercepting({}) is a no-op)
+        import warnings
+        warnings.warn('calibrate_engine: no detections above det_conf on '
+                      'the calibration frames — regressor stays bf16')
+        return det_scales, {}
     crops = jnp.asarray(np.concatenate(crop_batches))
     reg_scales = calibrate(engine.reg_model, engine.reg_vars, [(crops,)],
                            method=method, export=True)
