@@ -55,6 +55,8 @@ def main():
     ap.add_argument('--refine_margin', type=float, default=10.0)
     ap.add_argument('--soft_nms', type=float, default=0.0,
                     help='gaussian soft-NMS sigma for the detector decode')
+    ap.add_argument('--det_score_thr', type=float, default=0.02,
+                    help='detector decode score floor (pre-NMS)')
     ap.add_argument('--max_detections', type=int, default=8)
     ap.add_argument('--int8', action='store_true',
                     help='serve through the int8 PTQ path')
@@ -92,6 +94,7 @@ def main():
          '--refine_passes', str(args.refine_passes),
          '--refine_margin', str(args.refine_margin),
          '--soft_nms', str(args.soft_nms),
+         '--det_score_thr', str(args.det_score_thr),
          '--max_detections', str(args.max_detections)]
         + (['--int8'] if args.int8 else []))
 
