@@ -55,6 +55,8 @@ def main():
     ap.add_argument('--refine_margin', type=float, default=10.0)
     ap.add_argument('--soft_nms', type=float, default=0.0,
                     help='gaussian soft-NMS sigma for the detector decode')
+    ap.add_argument('--soft_nms_dup', type=float, default=0.75,
+                    help='soft-NMS duplicate cutoff IoU (1.0 = pure decay)')
     ap.add_argument('--det_score_thr', type=float, default=0.02,
                     help='detector decode score floor (pre-NMS)')
     ap.add_argument('--max_detections', type=int, default=8)
@@ -94,6 +96,7 @@ def main():
          '--refine_passes', str(args.refine_passes),
          '--refine_margin', str(args.refine_margin),
          '--soft_nms', str(args.soft_nms),
+         '--soft_nms_dup', str(args.soft_nms_dup),
          '--det_score_thr', str(args.det_score_thr),
          '--max_detections', str(args.max_detections)]
         + (['--int8'] if args.int8 else []))

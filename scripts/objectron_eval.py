@@ -88,6 +88,10 @@ def main():
                         help='gaussian soft-NMS sigma (0 = hard NMS); '
                              'occluded same-class objects survive with '
                              'decayed scores instead of being suppressed')
+    parser.add_argument('--soft_nms_dup', type=float, default=0.75,
+                        help='soft-NMS duplicate cutoff: overlaps above '
+                             'this IoU are zeroed, not decayed (1.0 = '
+                             'pure gaussian decay)')
     parser.add_argument('--max_detections', type=int, default=8)
     parser.add_argument('--int8', action='store_true',
                         help='serve both stages through the int8 PTQ path '
@@ -109,6 +113,7 @@ def main():
                           refine_margin_px=args.refine_margin,
                           score_thr=min(args.det_score_thr, args.det_tresh),
                           soft_nms_sigma=args.soft_nms,
+                          soft_nms_dup_iou=args.soft_nms_dup,
                           max_detections=args.max_detections)
     gt_box_regressor = None
     if args.gt_boxes:

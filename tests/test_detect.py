@@ -82,6 +82,21 @@ class TestNMS:
         assert out[1] > 0.1                       # survives, unlike hard NMS
         assert np.isclose(out[2], 0.7, atol=1e-6)  # no overlap → no decay
 
+    def test_soft_nms_dup_cutoff_zeroes_duplicates_keeps_occluded(self):
+        # box 1 is a near-duplicate of box 0 (IoU ~0.82 > dup_iou), box 2
+        # a distinct occluded object (IoU ~0.5): the cutoff zeroes the
+        # duplicate outright while the occluded box only decays
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 9],
+                             [0, 3.4, 10, 13.4]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        out = np.asarray(soft_nms(boxes, scores, sigma=0.5, dup_iou=0.75))
+        assert out[0] == 0.9
+        assert out[1] == 0.0                      # duplicate zeroed
+        assert out[2] > 0.2                       # occluded survives
+        # dup_iou=1.0 reproduces pure gaussian decay (duplicate survives)
+        pure = np.asarray(soft_nms(boxes, scores, sigma=0.5, dup_iou=1.0))
+        assert pure[1] > 0.1
+
     def test_soft_nms_zero_scores_stay_zero(self):
         boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
         scores = jnp.asarray([0.9, 0.0])

@@ -38,7 +38,7 @@ def greedy_nms(boxes, scores, iou_thr=0.45, k=None):
     return keep
 
 
-def soft_nms(boxes, scores, sigma=0.5):
+def soft_nms(boxes, scores, sigma=0.5, dup_iou=1.0):
     """Gaussian soft-NMS (Bodla et al. 2017): decay instead of suppress.
 
     boxes [K,4], scores [K] → decayed scores [K].  Each round picks the
@@ -51,7 +51,17 @@ def soft_nms(boxes, scores, sigma=0.5):
     diagnostic measured 12/296 objects lost to hard NMS at score 0.01;
     BASELINE.md round 3).  Hard NMS (the reference's DetectionOutput
     semantics, configs/detection/mnv2_ssd_300_2_heads.py:56-60) stays
-    the default."""
+    the default.
+
+    ``dup_iou < 1`` adds a duplicate cutoff: overlaps above it are
+    zeroed outright instead of decayed.  Pure gaussian decay never
+    removes same-object duplicates — a 0.9-score box at IoU 0.8 decays
+    to ~0.25, still far above any usable serving floor — so a low score
+    floor floods the output with duplicates (measured: vendor-protocol
+    AP inflates past 1.6 and mean 3D IoU drops, BASELINE.md round 3).
+    Distinct occluded objects overlap at ~0.45-0.65 IoU (held-out
+    diagnostic) while duplicate decodes of one object sit above ~0.75,
+    so the cutoff separates the two populations."""
     K = boxes.shape[0]
     ious = iou_xyxy(boxes, boxes)                     # [K,K]
 
@@ -61,6 +71,7 @@ def soft_nms(boxes, scores, sigma=0.5):
         i = jnp.argmax(masked)
         valid = masked[i] > 0.0
         decay = jnp.exp(-(ious[i] ** 2) / sigma)
+        decay = jnp.where(ious[i] > dup_iou, 0.0, decay)
         decay = jnp.where(processed | ~valid, 1.0, decay).at[i].set(1.0)
         return s * decay, processed.at[i].set(True)
 
@@ -70,16 +81,18 @@ def soft_nms(boxes, scores, sigma=0.5):
 
 
 @partial(jax.jit, static_argnames=('max_per_img', 'pre_nms_k',
-                                   'soft_nms_sigma'))
+                                   'soft_nms_sigma', 'soft_nms_dup_iou'))
 def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
                       iou_thr=0.45, max_per_img=200, pre_nms_k=200,
-                      soft_nms_sigma=0.0):
+                      soft_nms_sigma=0.0, soft_nms_dup_iou=1.0):
     """Single image: [A,C+1] logits + [A,4] deltas → [max_per_img, 6]
     (x1,y1,x2,y2,score,label), score-desc, padded with zeros.
 
     ``soft_nms_sigma > 0`` switches per-class suppression from hard
     greedy NMS to gaussian soft-NMS (scores decay by overlap; the
-    ``score_thr`` floor re-applies to the decayed scores)."""
+    ``score_thr`` floor re-applies to the decayed scores);
+    ``soft_nms_dup_iou < 1`` zeroes near-duplicates above that IoU (see
+    ``soft_nms``)."""
     num_classes = cls_logits.shape[-1] - 1
     probs = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]   # [A,C]
     boxes_all = decode_boxes(anchors, bbox_deltas)                 # [A,4]
@@ -91,7 +104,8 @@ def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
         top_boxes = boxes_all[top_idx]
         if soft_nms_sigma > 0.0:
             kept_scores = soft_nms(top_boxes, top_scores,
-                                   sigma=soft_nms_sigma)
+                                   sigma=soft_nms_sigma,
+                                   dup_iou=soft_nms_dup_iou)
             kept_scores = jnp.where(kept_scores > score_thr,
                                     kept_scores, 0.0)
         else:

@@ -71,6 +71,11 @@ class EngineConfig:
     # all 296 pre-NMS (BASELINE.md round 3) — occluded objects survive
     # with reduced confidence and can still be matched.
     soft_nms_sigma: float = 0.0
+    # Duplicate cutoff for soft-NMS: overlaps above this IoU are zeroed
+    # instead of decayed (same-object duplicate decodes sit above ~0.75
+    # IoU; distinct occluded objects at ~0.45-0.65).  1.0 = pure Bodla
+    # decay.  Only read when soft_nms_sigma > 0.
+    soft_nms_dup_iou: float = 0.75
     crop_size: Tuple[int, int] = (224, 224)
     expand_ratio: Tuple[float, float] = (1.0, 1.0)
     # Fixed pixel margin added around the detector box before cropping.
@@ -158,7 +163,8 @@ class TwoStageEngine:
                                      iou_thr=cfg.nms_iou,
                                      max_per_img=cfg.max_detections,
                                      pre_nms_k=max(4 * cfg.max_detections, 32),
-                                     soft_nms_sigma=cfg.soft_nms_sigma)
+                                     soft_nms_sigma=cfg.soft_nms_sigma,
+                                     soft_nms_dup_iou=cfg.soft_nms_dup_iou)
             boxes300 = dets[:, :4]
             scores = dets[:, 4]
             det_labels = dets[:, 5].astype(jnp.int32)

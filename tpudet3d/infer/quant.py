@@ -222,7 +222,8 @@ def calibrate_engine(engine, frames, method: str = 'absmax'):
             logits[i], deltas[i], anchors, score_thr=cfg.score_thr,
             iou_thr=cfg.nms_iou, max_per_img=cfg.max_detections,
             pre_nms_k=max(4 * cfg.max_detections, 32),
-            soft_nms_sigma=cfg.soft_nms_sigma))
+            soft_nms_sigma=cfg.soft_nms_sigma,
+            soft_nms_dup_iou=cfg.soft_nms_dup_iou))
         boxes = dets[dets[:, 4] > cfg.det_conf][:, :4] * scale
         if not len(boxes):
             continue
