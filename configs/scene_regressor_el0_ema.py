@@ -1,38 +1,37 @@
-# Default regressor training config — same declarative surface as the
-# reference (/root/reference/configs/default_config.py), consumed by
-# tpudet3d.core.read_py_config.
+# Regressor training on coherent synthetic scenes (exact 3D geometry,
+# tpudet3d/data/synthetic_scene.py): the stage-2 half of the end-to-end
+# protocol validation (benchmarks/validation/protocol_end_to_end.py).
+# Same schema as configs/default_config.py, shorter schedule.
+# Variant: weight EMA (optim.ema_decay) — the averaged weights are
+# validated/served; horizon 1/(1-d)=200 steps (~6 epochs at 32
+# steps/epoch), sized to the 1280-step schedule.
 
 data = dict(
-    root='./data',
+    root='',
     resize=(224, 224),
-    train_batch_size=164,
+    train_batch_size=128,
     val_batch_size=128,
-    max_epochs=130,
-    num_workers=8,
+    max_epochs=40,
+    num_workers=4,
     category_list='all',
     normalization=dict(mean=[0.5931, 0.4690, 0.4229],
                        std=[0.2471, 0.2214, 0.2157]),
-    # set synthetic=True to run without the converted Objectron dataset
-    synthetic=False,
+    synthetic='scene',
     synthetic_length=4096,
+    scene_seed=23,
+    scene_cache='./output/scene_cache',
 )
 
-model = dict(name='mobilenetv3_large_21k', pretrained=True, num_classes=9,
+model = dict(name='efficientnet-lite0', pretrained=False, num_classes=9,
              bf16=True, load_weights='', resume='')
 
-# TPU data parallelism: one mesh axis over all visible devices
-# (replaces the reference's torch.nn.DataParallel block)
 data_parallel = dict(use_parallel=True, num_devices=None)
 
 optim = dict(name='adam', lr=0.001, momentum=0.9, wd=1e-4, betas=(0.9, 0.999),
-             # ema_decay > 0 keeps an exponential moving average of the
-             # weights inside the train step; validation and serving load
-             # the average (net-new knob — the reference has no EMA)
-             ema_decay=0.0,
-             rho=0.9, alpha=0.99, nesterov=True)
+             rho=0.9, alpha=0.99, nesterov=True, ema_decay=0.995)
 
 scheduler = dict(name='multistepLR', gamma=0.6, exp_gamma=0.975,
-                 steps=[60, 90, 120])
+                 steps=[22, 30, 36])
 
 loss = dict(names=['l1', 'add_loss', 'cross_entropy'], coeffs=([1., .1], [.2]),
             smoothl1_beta=0.2,
@@ -40,7 +39,7 @@ loss = dict(names=['l1', 'add_loss', 'cross_entropy'], coeffs=([1., .1], [.2]),
                       compute_std=True),
             w=5.18, eps=1.)
 
-output_dir = './output/log'
+output_dir = './output/scene_regressor_el0_ema'
 
 utils = dict(debug_mode=False, random_seeds=5, save_freq=10, print_freq=20,
              debug_steps=100, eval_freq=5)
@@ -48,8 +47,6 @@ utils = dict(debug_mode=False, random_seeds=5, save_freq=10, print_freq=20,
 regime = dict(type='training', vis_only=False)
 
 train_data_pipeline = [('convert_color', dict()),
-                       ('resize', dict(height=data['resize'][0],
-                                       width=data['resize'][1])),
                        ('horizontal_flip', dict(p=0.4)),
                        ('random_brightness_contrast', dict(p=0.3)),
                        ('random_rotate', dict(angle_limit=10., p=0.4)),
@@ -57,7 +54,5 @@ train_data_pipeline = [('convert_color', dict()),
                        ('to_tensor', dict(img_shape=data['resize']))]
 
 test_data_pipeline = [('convert_color', dict()),
-                      ('resize', dict(height=data['resize'][0],
-                                      width=data['resize'][1])),
                       ('normalize', data['normalization']),
                       ('to_tensor', dict(img_shape=data['resize']))]

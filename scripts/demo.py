@@ -53,8 +53,10 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(osp.abspath(det_checkpoint))
         saved = restored['state'] if 'state' in restored else restored
+        # prefer the EMA average when the snapshot carries one
+        saved_params = saved.get('ema_params') or saved['params']
         det_vars = {'params': merge_matching(jax.device_get(det_vars['params']),
-                                             saved['params']),
+                                             saved_params),
                     'batch_stats': saved.get('batch_stats',
                                              det_vars.get('batch_stats', {}))}
 
@@ -68,7 +70,8 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
         from tpudet3d.train.pipeline import setup_training
         pipe = setup_training(cfg, with_loaders=False)
         state, _ = resume_from(pipe.state, reg_snap)
-        reg_vars = {'params': jax.device_get(state.params),
+        from tpudet3d.train.state import eval_params
+        reg_vars = {'params': jax.device_get(eval_params(state)),
                     'batch_stats': jax.device_get(state.batch_stats)}
         print(f'loaded regressor weights from {reg_snap}')
 

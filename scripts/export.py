@@ -47,7 +47,8 @@ def main():
     else:
         print('WARNING: no snapshot found, exporting random weights')
     img_size = tuple(args.img_size) if args.img_size else (128, 128)
-    variables = {'params': jax.device_get(state.params),
+    from tpudet3d.train.state import eval_params
+    variables = {'params': jax.device_get(eval_params(state)),
                  'batch_stats': jax.device_get(state.batch_stats)}
     export_regressor(pipe.model, variables, args.model_export_path,
                      img_size=img_size, batch_size=args.batch_size)

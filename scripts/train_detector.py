@@ -83,8 +83,10 @@ def main():
             optax.sgd(learning_rate, momentum=float(cfg.optim.momentum))))(
         learning_rate=base_lr)
 
+    ema_decay = float(cfg.optim.get('ema_decay', 0.0) or 0.0)
     state = create_detector_state(model, opt, root_key,
-                                  input_size=int(cfg.input_size))
+                                  input_size=int(cfg.input_size),
+                                  ema_decay=ema_decay)
     state = replicate(state, mesh)
 
     if cfg.data.synthetic == 'scene':
@@ -128,7 +130,8 @@ def main():
 
     trainer = DetectorTrainer(
         train_step=make_detector_train_step(
-            model, opt, use_balance=bool(cfg.train_cfg.loss_balancing)),
+            model, opt, use_balance=bool(cfg.train_cfg.loss_balancing),
+            ema_decay=ema_decay),
         state=state, train_loader=loader, lr_fn=lr_fn, opt_set_lr=set_lr,
         max_epoch=int(cfg.data.max_epochs), log_path=cfg.output_dir,
         print_freq=int(cfg.utils.print_freq),
@@ -170,8 +173,10 @@ def main():
     def validate(state, epoch):
         from tpudet3d.detect import DetectorEvaluator
         from tpudet3d.core import DETECTOR_CLASSES
+        val_params = (state.ema_params if state.ema_params is not None
+                      else state.params)
         evaluator = DetectorEvaluator(
-            model, {'params': state.params, 'batch_stats': state.batch_stats})
+            model, {'params': val_params, 'batch_stats': state.batch_stats})
         for imgs, boxes, labels, valid, _n in val_loader:
             imgs_d, _ = test_aug(jnp.asarray(imgs), jnp.asarray(boxes),
                                  jax.random.PRNGKey(0))

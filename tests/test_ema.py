@@ -1,0 +1,103 @@
+"""Weight EMA (optim.ema_decay) — in-step average, eval selection, resume.
+
+Net-new vs the reference (no weight averaging there): the average is
+maintained inside the jitted train step (train/steps.py) and preferred by
+validation/serving via tpudet3d.train.state.eval_params.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from tpudet3d.train.pipeline import setup_training
+from tpudet3d.train.state import eval_params
+from tpudet3d.utils import save_snap, resume_from
+
+from test_train_e2e import tiny_cfg
+
+
+def _first_leaf(tree):
+    return np.asarray(jax.tree_util.tree_leaves(jax.device_get(tree))[0],
+                      np.float64)
+
+
+class TestEMA:
+    def test_disabled_by_default(self, tmp_path):
+        pipe = setup_training(tiny_cfg(tmp_path, batch=8),
+                              with_loaders=False)
+        assert pipe.state.ema_params is None
+        assert eval_params(pipe.state) is pipe.state.params
+
+    def test_ema_recursion_and_eval_selection(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, batch=8)
+        cfg.data.synthetic_length = 8
+        decay = 0.9
+        cfg.optim.ema_decay = decay
+        pipe = setup_training(cfg)
+
+        state = pipe.state
+        # initialized to a copy of the params
+        assert np.allclose(_first_leaf(state.ema_params),
+                           _first_leaf(state.params))
+
+        imgs, kps, cats, _ = next(iter(pipe.train_loader))
+        imgs_d, kps_d, cats_d = map(pipe.put_fn, (imgs, kps, cats))
+        expected = _first_leaf(state.params)
+        for i in range(3):
+            state, _ = pipe.train_step(state, imgs_d, kps_d, cats_d,
+                                       jax.random.PRNGKey(i))
+            expected = decay * expected + (1 - decay) * _first_leaf(
+                state.params)
+        got = _first_leaf(state.ema_params)
+        assert np.allclose(got, expected, atol=1e-5), \
+            np.abs(got - expected).max()
+        # the average lags the raw params and is what eval selects
+        assert not np.allclose(got, _first_leaf(state.params))
+        assert eval_params(state) is state.ema_params
+
+    def test_detector_ema_recursion(self):
+        import optax
+        from tpudet3d.detect import SSDDetector
+        from tpudet3d.detect.train import (create_detector_state,
+                                           make_detector_train_step)
+        size, decay = 64, 0.9
+        model = SSDDetector(num_classes=9, width_mult=0.5)
+        opt = optax.inject_hyperparams(
+            lambda learning_rate: optax.sgd(learning_rate, momentum=0.9))(
+            learning_rate=0.01)
+        state = create_detector_state(model, opt, jax.random.PRNGKey(0),
+                                      input_size=size, batch=2,
+                                      ema_decay=decay)
+        assert np.allclose(_first_leaf(state.ema_params),
+                           _first_leaf(state.params))
+        step = make_detector_train_step(model, opt, input_size=size,
+                                        ema_decay=decay)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, size, size, 3))
+        boxes = np.tile(np.asarray([[4., 4., 40., 40.]], np.float32),
+                        (2, 4, 1))
+        labels = np.zeros((2, 4), np.int32)
+        valid = np.ones((2, 4), bool)
+        expected = _first_leaf(state.params)
+        for i in range(2):
+            state, _ = step(state, imgs, boxes, labels, valid)
+            expected = decay * expected + (1 - decay) * _first_leaf(
+                state.params)
+        assert np.allclose(_first_leaf(state.ema_params), expected,
+                           atol=1e-5)
+
+    def test_ema_checkpoint_roundtrip(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, batch=8)
+        cfg.data.synthetic_length = 8
+        cfg.optim.ema_decay = 0.9
+        pipe = setup_training(cfg)
+        imgs, kps, cats, _ = next(iter(pipe.train_loader))
+        imgs_d, kps_d, cats_d = map(pipe.put_fn, (imgs, kps, cats))
+        state, _ = pipe.train_step(pipe.state, imgs_d, kps_d, cats_d,
+                                   jax.random.PRNGKey(0))
+        save_snap(state, 0, str(tmp_path))
+        fresh = setup_training(cfg, with_loaders=False)
+        restored, start_epoch = resume_from(
+            fresh.state, str(tmp_path / 'snap_0'))
+        assert start_epoch == 1
+        assert np.allclose(_first_leaf(restored.ema_params),
+                           _first_leaf(state.ema_params))

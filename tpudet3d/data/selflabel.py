@@ -93,8 +93,9 @@ def generate_selflabel_boxes(scene, det_checkpoint, out_path,
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(osp.abspath(det_checkpoint))
     saved = restored['state'] if 'state' in restored else restored
+    saved_params = saved.get('ema_params') or saved['params']
     det_vars = {'params': merge_matching(jax.device_get(det_vars['params']),
-                                         saved['params']),
+                                         saved_params),
                 'batch_stats': saved.get('batch_stats',
                                          det_vars.get('batch_stats', {}))}
     anchors = jnp.asarray(generate_anchors())

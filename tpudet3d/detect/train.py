@@ -34,6 +34,9 @@ class DetTrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA of the model params (optim.ema_decay > 0); None when disabled.
+    # Same semantics as the regressor TrainState (train/state.py).
+    ema_params: Any = None
 
 
 def warmup_step_lr(base_lr=0.05, warmup_iters=1200, warmup_ratio=1.0 / 3,
@@ -53,7 +56,8 @@ def warmup_step_lr(base_lr=0.05, warmup_iters=1200, warmup_ratio=1.0 / 3,
     return lr
 
 
-def create_detector_state(model, optimizer, rng, input_size=300, batch=2):
+def create_detector_state(model, optimizer, rng, input_size=300, batch=2,
+                          ema_decay=0.0):
     x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
     # jitted: eager flax init dispatches hundreds of tiny device ops — on a
     # high-RTT host->TPU link that costs minutes; one compiled (and
@@ -64,11 +68,14 @@ def create_detector_state(model, optimizer, rng, input_size=300, batch=2):
     opt_state = optimizer.init({'model': params, 'balance': balance})
     return DetTrainState(params=params, balance=balance,
                          batch_stats=variables.get('batch_stats', {}),
-                         opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+                         opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                         # a COPY — aliased buffers break donated steps
+                         ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                                     if ema_decay > 0 else None))
 
 
 def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False,
-                             input_size=None):
+                             input_size=None, ema_decay=0.0):
     """``use_balance`` enables the (clamped) learned loss weighting; plain
     sum converges faster on short schedules (see losses.ssd_loss note).
     ``input_size`` overrides the anchor grid (default: reference 300)."""
@@ -98,10 +105,17 @@ def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False,
         new_trainable = optax.apply_updates(trainable, updates)
         metrics = jnp.stack([total, parts['cls_loss'], parts['reg_loss'],
                              parts['num_pos']])
+        if ema_decay > 0:
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                state.ema_params, new_trainable['model'])
+        else:
+            new_ema = state.ema_params
         return DetTrainState(params=new_trainable['model'],
                              balance=new_trainable['balance'],
                              batch_stats=new_bs, opt_state=new_opt,
-                             step=state.step + 1), metrics
+                             step=state.step + 1, ema_params=new_ema), metrics
 
     return train_step
 

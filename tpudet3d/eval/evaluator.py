@@ -16,6 +16,7 @@ import numpy as np
 
 from ..core import AverageMeter, TextTable, OBJECTRON_CLASSES, mkdir_if_missing
 from ..utils.drawing import draw_kp
+from ..train.state import eval_params
 
 __all__ = ['Evaluator']
 
@@ -58,7 +59,7 @@ class Evaluator:
             weights = jnp.asarray(
                 (np.arange(imgs.shape[0]) < true_n).astype(np.float32))
             (add_s, sadd_s, iou_s, acc_s, counts), _ = self.eval_step(
-                state.params, state.batch_stats, imgs_d, kps_d, cats_d,
+                eval_params(state), state.batch_stats, imgs_d, kps_d, cats_d,
                 weights, compute_iou=bool(compute_iou))
             add_s, sadd_s, iou_s, acc_s, counts = map(
                 np.asarray, (add_s, sadd_s, iou_s, acc_s, counts))
@@ -124,7 +125,7 @@ class Evaluator:
                 self.rng, key = jax.random.split(self.rng)
                 imgs_d, kps_d = self.test_transform(imgs_d, kps_d, key)
             _, (pred_kp, logits) = self.eval_step(
-                state.params, state.batch_stats, imgs_d, kps_d,
+                eval_params(state), state.batch_stats, imgs_d, kps_d,
                 jnp.asarray([cat], jnp.int32), compute_iou=False)
             pred_kp = np.array(pred_kp[0])      # writable copies
             gt_kp = np.array(kps_d[0])

@@ -89,9 +89,14 @@ def setup_training(cfg, mesh=None, seed=None, with_loaders=True):
 
     init_key = jax.random.PRNGKey(seed)
     input_shape = (max(int(cfg.data.train_batch_size), 1), *cfg.data.resize, 3)
+    # optim.ema_decay > 0 keeps an in-step exponential moving average of
+    # the params; validation/serving prefer it when present (net-new vs
+    # the reference, which has no weight averaging)
+    ema_decay = float(cfg.optim.get('ema_decay', 0.0) or 0.0)
     state = create_train_state(model, optimizer, loss_manager, init_key,
                                input_shape,
-                               num_classes=int(cfg.model.num_classes or 9))
+                               num_classes=int(cfg.model.num_classes or 9),
+                               ema_decay=ema_decay)
     state = _maybe_import_torch_weights(cfg, state)
     state = replicate(state, mesh)
 
@@ -102,7 +107,8 @@ def setup_training(cfg, mesh=None, seed=None, with_loaders=True):
         # device augmentation is fused INTO the train step (single program;
         # no intermediate f32 image materialization)
         train_step=make_train_step(model, loss_manager, optimizer,
-                                   augment_fn=train_aug),
+                                   augment_fn=train_aug,
+                                   ema_decay=ema_decay),
         eval_step=make_eval_step(model, num_classes=9),
         train_aug=jax.jit(train_aug), test_aug=jax.jit(test_aug),
         mesh=mesh, put_fn=partial(shard_batch, mesh=mesh))
