@@ -101,3 +101,64 @@ class TestEMA:
         assert start_epoch == 1
         assert np.allclose(_first_leaf(restored.ema_params),
                            _first_leaf(state.ema_params))
+
+
+class TestPreEmaSnapshotResume:
+    """Round-3 regression: snapshots saved BEFORE the ema_params field
+    existed must still restore their batch_stats.  The template-based
+    full restore fails on the structure mismatch and the tolerant
+    fallback used to return params-only — serving init BN statistics
+    (mean 0 / var 1) silently wrecked every downstream prediction."""
+
+    def _old_style_snapshot(self, tmp_path, state, epoch=3):
+        import orbax.checkpoint as ocp
+        import os.path as osp
+        saved = {
+            'params': jax.device_get(state.params),
+            'batch_stats': jax.device_get(state.batch_stats),
+            'opt_state': jax.device_get(state.opt_state),
+            'alwa': jax.device_get(state.alwa),
+            'step': jax.device_get(state.step),
+        }   # no ema_params key: the pre-EMA on-disk layout
+        path = osp.join(str(tmp_path), 'snap_old')
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {'state': saved, 'epoch': epoch}, force=True)
+        return path
+
+    def test_batch_stats_survive_fallback(self, tmp_path):
+        pipe = setup_training(tiny_cfg(tmp_path, batch=8),
+                              with_loaders=False)
+        # mutate params AND batch_stats so restoration is observable
+        trained = pipe.state.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0,
+                                          pipe.state.params),
+            batch_stats=jax.tree_util.tree_map(lambda x: x + 2.0,
+                                               pipe.state.batch_stats))
+        path = self._old_style_snapshot(tmp_path, trained)
+
+        fresh = setup_training(tiny_cfg(tmp_path, batch=8),
+                               with_loaders=False).state
+        restored, start_epoch = resume_from(fresh, path)
+        assert start_epoch == 4
+        assert np.allclose(_first_leaf(restored.params),
+                           _first_leaf(trained.params))
+        assert np.allclose(_first_leaf(restored.batch_stats),
+                           _first_leaf(trained.batch_stats))
+
+    def test_ema_template_seeds_from_weights(self, tmp_path):
+        pipe = setup_training(tiny_cfg(tmp_path, batch=8),
+                              with_loaders=False)
+        trained = pipe.state.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0,
+                                          pipe.state.params))
+        path = self._old_style_snapshot(tmp_path, trained)
+
+        cfg = tiny_cfg(tmp_path, batch=8)
+        cfg.optim.ema_decay = 0.99
+        fresh = setup_training(cfg, with_loaders=False).state
+        restored, _ = resume_from(fresh, path)
+        # the EMA average starts from the RESTORED weights, not the inits
+        assert np.allclose(_first_leaf(restored.ema_params),
+                           _first_leaf(trained.params))
+        assert np.allclose(_first_leaf(eval_params(restored)),
+                           _first_leaf(trained.params))

@@ -108,12 +108,37 @@ def resume_from(state, chkpt_path):
             start_epoch = int(restored['epoch']) + 1
             print(f'Loaded full train state; last epoch = {start_epoch}')
             return new_state, start_epoch
-        except Exception as e:  # tolerant fallback: weights only
+        except Exception as e:
+            # Tolerant fallback for structure-mismatched snapshots (e.g.
+            # pre-EMA checkpoints once the template grew an ``ema_params``
+            # field): restore raw and merge path-wise.  It MUST carry the
+            # batch_stats — losing them serves init BN statistics
+            # (mean 0 / var 1) and silently wrecks every prediction
+            # (regression: round-3 protocol runs collapsed to 2D err 0.1
+            # after the EMA field landed).  Optimizer/ALWA state is
+            # dropped (documented tolerance, like the reference's partial
+            # load, utils.py:127-183).
             print(f'Full state restore failed ({type(e).__name__}); '
-                  'falling back to weight-only restore')
+                  'falling back to weight+stats restore')
             restored = ckptr.restore(osp.abspath(chkpt_path))
             saved = restored['state'] if 'state' in restored else restored
             new_params = merge_matching(jax.device_get(state.params),
                                         saved['params'])
+            replace = {'params': new_params}
+            if saved.get('batch_stats') and getattr(state, 'batch_stats',
+                                                    None):
+                replace['batch_stats'] = merge_matching(
+                    jax.device_get(state.batch_stats), saved['batch_stats'],
+                    verbose=False)
+            if getattr(state, 'ema_params', None) is not None:
+                if saved.get('ema_params'):
+                    replace['ema_params'] = merge_matching(
+                        jax.device_get(state.ema_params),
+                        saved['ema_params'], verbose=False)
+                else:
+                    # template keeps an EMA but the snapshot predates it:
+                    # seed the average from the restored weights
+                    replace['ema_params'] = jax.tree_util.tree_map(
+                        np.copy, new_params)
             epoch = int(restored.get('epoch', -1))
-            return state.replace(params=new_params), epoch + 1
+            return state.replace(**replace), epoch + 1
