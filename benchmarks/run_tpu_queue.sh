@@ -30,6 +30,10 @@ if [ "${RCS[0]}" != 0 ]; then
     echo "TPU unreachable — aborting queue"; exit 1
 fi
 
+# 0b. driver-hook insurance: the flagship forward compiles on the chip
+step entry python -c "import __graft_entry__ as g; fn, args = g.entry(); \
+import jax; jax.jit(fn).lower(*args).compile(); print('entry ok')"
+
 # 1. int8 MXU probe: does int8 actually beat bf16 through this PJRT stack?
 step probe_int8 python benchmarks/probe_int8.py
 

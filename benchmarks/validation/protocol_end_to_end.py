@@ -62,6 +62,8 @@ def main():
     ap.add_argument('--max_detections', type=int, default=8)
     ap.add_argument('--int8', action='store_true',
                     help='serve both stages through the int8 PTQ path')
+    ap.add_argument('--tta_flip', action='store_true',
+                    help='horizontal-flip TTA for the regressor')
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
@@ -99,7 +101,8 @@ def main():
          '--soft_nms_dup', str(args.soft_nms_dup),
          '--det_score_thr', str(args.det_score_thr),
          '--max_detections', str(args.max_detections)]
-        + (['--int8'] if args.int8 else []))
+        + (['--int8'] if args.int8 else [])
+        + (['--tta_flip'] if args.tta_flip else []))
 
     # summary: AP@3D-IoU>=0.5 bin (bin 10 of 21), AP@ADD<=0.1m (bin 2),
     # mean 3D IoU / mean 2D error per class

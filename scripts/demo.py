@@ -35,7 +35,8 @@ from tpudet3d.utils import draw_kp, latest_snapshot, resume_from
 def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                  det_conf=0.7, max_detections=8, host_downscale=1,
                  crop_margin_px=10.0, refine_passes=0, refine_margin_px=10.0,
-                 score_thr=0.02, soft_nms_sigma=0.0, soft_nms_dup_iou=0.75):
+                 score_thr=0.02, soft_nms_sigma=0.0, soft_nms_dup_iou=0.75,
+                 tta_flip=False):
     import jax.numpy as jnp
     if reg_config_path:
         cfg = read_py_config(reg_config_path)
@@ -84,7 +85,8 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                                        refine_margin_px=refine_margin_px,
                                        score_thr=score_thr,
                                        soft_nms_sigma=soft_nms_sigma,
-                                       soft_nms_dup_iou=soft_nms_dup_iou))
+                                       soft_nms_dup_iou=soft_nms_dup_iou,
+                                       tta_flip=tta_flip))
 
 
 def draw_frame(frame, result, tracker):

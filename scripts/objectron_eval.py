@@ -93,6 +93,11 @@ def main():
                              'this IoU are zeroed, not decayed (1.0 = '
                              'pure gaussian decay)')
     parser.add_argument('--max_detections', type=int, default=8)
+    parser.add_argument('--tta_flip', action='store_true',
+                        help='horizontal-flip test-time augmentation for '
+                             'the regressor: crop + mirror in one doubled '
+                             'batch, predictions averaged (net-new vs the '
+                             'reference)')
     parser.add_argument('--int8', action='store_true',
                         help='serve both stages through the int8 PTQ path '
                              '(infer/quant.py), self-calibrated on the '
@@ -116,7 +121,8 @@ def main():
                           score_thr=min(args.det_score_thr, args.det_tresh),
                           soft_nms_sigma=args.soft_nms,
                           soft_nms_dup_iou=args.soft_nms_dup,
-                          max_detections=args.max_detections)
+                          max_detections=args.max_detections,
+                          tta_flip=args.tta_flip)
     gt_box_regressor = None
     if args.gt_boxes:
         from tpudet3d.infer.wrappers import Regressor

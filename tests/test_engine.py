@@ -225,3 +225,51 @@ class TestEngine:
         assert len(detections) <= 4
         for d in detections:
             assert len(d) == 6
+
+
+class TestTTAFlipAverage:
+    """tta_flip_average math (UNGATED): the mirror-back constant and
+    index layout, pinned with a perfectly flip-equivariant synthetic
+    model output."""
+
+    def test_equivariant_output_is_identity(self):
+        from tpudet3d.infer.engine import tta_flip_average
+        rng = np.random.RandomState(0)
+        k, w = 3, 224
+        orig = jnp.asarray(rng.uniform(0.1, 0.9, (9, k, 9, 2)),
+                           jnp.float32)
+        # a perfect model on mirrored crops: x' = (1 - 1/W) - x, y' = y
+        mirrored = orig.at[..., 0].set((1.0 - 1.0 / w) - orig[..., 0])
+        all_kp = jnp.concatenate([orig, mirrored], axis=1)
+        logits = jnp.asarray(rng.standard_normal((2 * k, 9)), jnp.float32)
+        logits = jnp.concatenate([logits[:k], logits[:k]])  # agree
+        kp_avg, cls_avg = tta_flip_average(all_kp, logits, k, w)
+        assert np.allclose(np.asarray(kp_avg), np.asarray(orig), atol=1e-6)
+        assert np.allclose(np.asarray(cls_avg), np.asarray(logits[:k]),
+                           atol=1e-6)
+
+    def test_disagreement_averages(self):
+        from tpudet3d.infer.engine import tta_flip_average
+        k, w = 2, 64
+        flip_c = 1.0 - 1.0 / w
+        orig = jnp.full((1, k, 9, 2), 0.3, jnp.float32)
+        # mirrored-half prediction corresponds to 0.5 in original coords
+        mirrored = jnp.full((1, k, 9, 2), 0.3, jnp.float32) \
+            .at[..., 0].set(flip_c - 0.5)
+        all_kp = jnp.concatenate([orig, mirrored], axis=1)
+        logits = jnp.zeros((2 * k, 9), jnp.float32)
+        kp_avg, _ = tta_flip_average(all_kp, logits, k, w)
+        assert np.allclose(np.asarray(kp_avg[..., 0]), 0.4, atol=1e-6)
+        assert np.allclose(np.asarray(kp_avg[..., 1]), 0.3, atol=1e-6)
+
+    def test_engine_tta_runs(self):
+        """Fused pipeline with tta_flip compiles and emits finite outputs
+        (tiny shapes; doubled-batch regressor in the same program)."""
+        eng = tiny_engine()
+        eng.cfg.tta_flip = True
+        eng._build_pipelines()
+        frame = np.random.RandomState(2).randint(
+            0, 255, (96, 128, 3)).astype(np.uint8)
+        out = eng(frame)
+        assert np.all(np.isfinite(out['kp']))
+        assert out['kp'].shape[1:] == (9, 2)

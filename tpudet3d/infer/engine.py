@@ -26,7 +26,26 @@ from ..detect import generate_anchors, decode_detections, INPUT_SIZE
 from ..ops.image import crop_and_resize, resize_bilinear
 from .quant import intercepting
 
-__all__ = ['TwoStageEngine', 'EngineConfig', 'refine_boxes']
+__all__ = ['TwoStageEngine', 'EngineConfig', 'refine_boxes',
+           'tta_flip_average']
+
+
+def tta_flip_average(all_kp, cls_logits, k, crop_w):
+    """Merge a doubled-batch regressor output (originals ++ mirrored
+    crops) into averaged predictions for the k originals.
+
+    ``all_kp`` is [heads, 2k, 9, 2] with keypoints normalized by the
+    crop size; training's horizontal flip maps x_px -> (W-1)-x_px with
+    normalization by W (data/transforms.py horizontal_flip + to_tensor),
+    so the exact mirror-back in normalized coordinates is
+    x -> (1 - 1/W) - x.  Keypoint indices are NOT re-permuted: the flip
+    augmentation trains per-index mirrored layouts, so index-wise
+    averaging is the convention-consistent ensemble."""
+    flip_c = 1.0 - 1.0 / float(crop_w)
+    kp_m = all_kp[:, k:]
+    kp_m = kp_m.at[..., 0].set(flip_c - kp_m[..., 0])
+    return (0.5 * (all_kp[:, :k] + kp_m),
+            0.5 * (cls_logits[:k] + cls_logits[k:]))
 
 REG_MEAN = (0.5931, 0.4690, 0.4229)
 REG_STD = (0.2471, 0.2214, 0.2157)
@@ -94,6 +113,14 @@ class EngineConfig:
     # _build_pipelines time (construction), not per call.
     refine_passes: int = 0
     refine_margin_px: float = 10.0
+    # Horizontal-flip test-time augmentation for the regressor: every
+    # crop and its mirror run in ONE doubled batch through the same
+    # fused program, predictions averaged after mirroring x back.  The
+    # regressor trains with horizontal_flip aug (per-index x -> 1-x, no
+    # vertex re-permutation — data/transforms.py), so index-wise
+    # averaging is the convention-consistent ensemble.  Costs one extra
+    # regressor forward per pass; net-new vs the reference (no TTA).
+    tta_flip: bool = False
     # Truncation recovery: when pass-1 keypoints press against a crop edge
     # (the regressor's sigmoid clamps — the true extent is beyond the
     # box), grow THAT side by this fraction of the box dimension instead
@@ -104,10 +131,10 @@ class EngineConfig:
     # activation scales for each stage; None = bf16.  Weight quantization
     # happens in-graph from the same f32 checkpoint.  v5e's MXU runs
     # int8×int8→int32 at 2× the bf16 rate; measured accuracy cost on the
-    # trained chain: detector boxes drift p50 0.09 px / p99 1.5 px
-    # (300-space), regressor keypoints mean 0.7 px on the 224 crop
-    # (BASELINE.md round 3) — quantize the detector freely, gate the
-    # regressor on a protocol check.
+    # trained chain (healthy restore, BASELINE.md round 3): detector
+    # boxes ≤4 px at 480p (inside the crop-jitter training band),
+    # trained-el0 keypoints mean 0.33 px / max 3.9 px per 224 crop,
+    # protocol mean 2D error within 0.002 of bf16.
     det_int8_scales: Optional[dict] = None
     reg_int8_scales: Optional[dict] = None
     # Downscale frames on HOST before upload (cv2 INTER_AREA), rescaling
@@ -194,9 +221,17 @@ class TwoStageEngine:
             def regress(crop_boxes):
                 crops = crop_and_resize(frame, crop_boxes, cfg.crop_size)
                 crops = crops * scale - offset
+                k = crops.shape[0]
+                if cfg.tta_flip:
+                    # crop + mirror in ONE doubled batch (same program);
+                    # predictions averaged after mirroring x back
+                    crops = jnp.concatenate([crops, crops[:, :, ::-1, :]])
                 with intercepting(cfg.reg_int8_scales):
                     all_kp, cls_logits = self.reg_model.apply(reg_vars, crops,
                                                               export=True)
+                if cfg.tta_flip:
+                    all_kp, cls_logits = tta_flip_average(
+                        all_kp, cls_logits, k, cfg.crop_size[1])
                 # pick the head of the predicted class
                 # (ie_wrappers.py:138-142)
                 labels = jnp.argmax(cls_logits, axis=-1)          # [N]
