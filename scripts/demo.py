@@ -168,6 +168,9 @@ def main():
     parser.add_argument('--int8', action='store_true',
                         help='serve both stages through the int8 PTQ path, '
                              'calibrated on the first captured frame')
+    parser.add_argument('--tta_flip', action='store_true',
+                        help='horizontal-flip TTA for the regressor '
+                             '(EngineConfig.tta_flip)')
     args = parser.parse_args()
 
     if args.cam_id >= 0:
@@ -181,7 +184,8 @@ def main():
 
     engine = build_engine(args.reg_config, args.det_checkpoint,
                           args.reg_checkpoint, det_conf=args.det_tresh,
-                          host_downscale=args.host_downscale)
+                          host_downscale=args.host_downscale,
+                          tta_flip=args.tta_flip)
     if args.int8:
         from tpudet3d.infer.quant import calibrate_engine
         ok, first = cap.read()

@@ -125,6 +125,9 @@ def main():
                           tta_flip=args.tta_flip)
     gt_box_regressor = None
     if args.gt_boxes:
+        assert not (args.int8 or args.tta_flip), \
+            '--gt_boxes bypasses the fused engine (plain Regressor '\
+            'wrapper) — --int8/--tta_flip would be silently ignored'
         from tpudet3d.infer.wrappers import Regressor
         gt_box_regressor = Regressor(engine.reg_model, engine.reg_vars)
 

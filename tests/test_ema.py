@@ -128,12 +128,17 @@ class TestPreEmaSnapshotResume:
     def test_batch_stats_survive_fallback(self, tmp_path):
         pipe = setup_training(tiny_cfg(tmp_path, batch=8),
                               with_loaders=False)
-        # mutate params AND batch_stats so restoration is observable
+        # mutate params, batch_stats AND opt_state so restoration is
+        # observable per field
         trained = pipe.state.replace(
             params=jax.tree_util.tree_map(lambda x: x + 1.0,
                                           pipe.state.params),
             batch_stats=jax.tree_util.tree_map(lambda x: x + 2.0,
-                                               pipe.state.batch_stats))
+                                               pipe.state.batch_stats),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: x + 3.0 if np.issubdtype(
+                    np.asarray(x).dtype, np.floating) else x,
+                pipe.state.opt_state))
         path = self._old_style_snapshot(tmp_path, trained)
 
         fresh = setup_training(tiny_cfg(tmp_path, batch=8),
@@ -144,6 +149,16 @@ class TestPreEmaSnapshotResume:
                            _first_leaf(trained.params))
         assert np.allclose(_first_leaf(restored.batch_stats),
                            _first_leaf(trained.batch_stats))
+        # the ema-field-toggled second attempt is a FULL restore: the
+        # optimizer state survives too (the plain fallback would drop it)
+        t_opt = [x for x in jax.tree_util.tree_leaves(
+            jax.device_get(trained.opt_state))
+            if np.issubdtype(np.asarray(x).dtype, np.floating)]
+        r_opt = [x for x in jax.tree_util.tree_leaves(
+            jax.device_get(restored.opt_state))
+            if np.issubdtype(np.asarray(x).dtype, np.floating)]
+        assert t_opt and np.allclose(np.asarray(t_opt[0]),
+                                     np.asarray(r_opt[0]))
 
     def test_ema_template_seeds_from_weights(self, tmp_path):
         pipe = setup_training(tiny_cfg(tmp_path, batch=8),
@@ -162,3 +177,44 @@ class TestPreEmaSnapshotResume:
                            _first_leaf(trained.params))
         assert np.allclose(_first_leaf(eval_params(restored)),
                            _first_leaf(trained.params))
+
+    def test_ema_snapshot_into_disabled_config(self, tmp_path):
+        """EMA-trained snapshot resumed with ema_decay unset: full restore
+        (optimizer state included) with the average dropped."""
+        import orbax.checkpoint as ocp
+        import os.path as osp
+        cfg = tiny_cfg(tmp_path, batch=8)
+        cfg.optim.ema_decay = 0.99
+        ema_state = setup_training(cfg, with_loaders=False).state
+        trained = ema_state.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0,
+                                          ema_state.params),
+            batch_stats=jax.tree_util.tree_map(lambda x: x + 2.0,
+                                               ema_state.batch_stats),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: x + 3.0 if np.issubdtype(
+                    np.asarray(x).dtype, np.floating) else x,
+                ema_state.opt_state))
+        path = osp.join(str(tmp_path), 'snap_ema')
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {'state': jax.device_get(trained), 'epoch': 7},
+                       force=True)
+
+        fresh = setup_training(tiny_cfg(tmp_path, batch=8),
+                               with_loaders=False).state
+        assert fresh.ema_params is None
+        restored, start_epoch = resume_from(fresh, path)
+        assert start_epoch == 8
+        assert restored.ema_params is None
+        assert np.allclose(_first_leaf(restored.params),
+                           _first_leaf(trained.params))
+        assert np.allclose(_first_leaf(restored.batch_stats),
+                           _first_leaf(trained.batch_stats))
+        t_opt = [x for x in jax.tree_util.tree_leaves(
+            jax.device_get(trained.opt_state))
+            if np.issubdtype(np.asarray(x).dtype, np.floating)]
+        r_opt = [x for x in jax.tree_util.tree_leaves(
+            jax.device_get(restored.opt_state))
+            if np.issubdtype(np.asarray(x).dtype, np.floating)]
+        assert t_opt and np.allclose(np.asarray(t_opt[0]),
+                                     np.asarray(r_opt[0]))

@@ -126,4 +126,3 @@ class TestQuantForward:
         # i32 accumulate) — that is the whole point of the path
         hlo = fn.lower(v, x).as_text()
         assert 'xi8>' in hlo and 'xi32>' in hlo
-

@@ -96,49 +96,97 @@ def load_pretrained_weights(state, file_path):
 
 def resume_from(state, chkpt_path):
     """Full restore: weights + optimizer + alwa; returns (state, start_epoch)
-    with start_epoch = saved epoch + 1 (reference utils.py:199-202)."""
+    with start_epoch = saved epoch + 1 (reference utils.py:199-202).
+
+    Snapshots whose only structural difference from the template is the
+    presence/absence of the ``ema_params`` field (old pre-EMA snapshots
+    into an EMA-enabled config, or EMA-trained snapshots into an
+    EMA-disabled config) still restore FULLY — optimizer momentum, ALWA
+    and step included — via a second attempt with the field toggled.
+    Anything else hits the tolerant weight+stats fallback."""
     print(f'Loading checkpoint from "{chkpt_path}"')
-    abstract = {'state': jax.device_get(state), 'epoch': 0}
+
+    def _full(ckptr, template):
+        restored = ckptr.restore(
+            osp.abspath(chkpt_path),
+            {'state': jax.device_get(template), 'epoch': 0})
+        new_state = jax.tree_util.tree_map(
+            lambda t, s: np.asarray(s), jax.device_get(template),
+            restored['state'])
+        return new_state, int(restored['epoch']) + 1
+
     with ocp.StandardCheckpointer() as ckptr:
         try:
-            restored = ckptr.restore(osp.abspath(chkpt_path), abstract)
-            new_state = jax.tree_util.tree_map(
-                lambda t, s: np.asarray(s), jax.device_get(state),
-                restored['state'])
-            start_epoch = int(restored['epoch']) + 1
+            new_state, start_epoch = _full(ckptr, state)
             print(f'Loaded full train state; last epoch = {start_epoch}')
             return new_state, start_epoch
         except Exception as e:
-            # Tolerant fallback for structure-mismatched snapshots (e.g.
-            # pre-EMA checkpoints once the template grew an ``ema_params``
-            # field): restore raw and merge path-wise.  It MUST carry the
-            # batch_stats — losing them serves init BN statistics
-            # (mean 0 / var 1) and silently wrecks every prediction
-            # (regression: round-3 protocol runs collapsed to 2D err 0.1
-            # after the EMA field landed).  Optimizer/ALWA state is
-            # dropped (documented tolerance, like the reference's partial
-            # load, utils.py:127-183).
-            print(f'Full state restore failed ({type(e).__name__}); '
-                  'falling back to weight+stats restore')
-            restored = ckptr.restore(osp.abspath(chkpt_path))
-            saved = restored['state'] if 'state' in restored else restored
-            new_params = merge_matching(jax.device_get(state.params),
-                                        saved['params'])
-            replace = {'params': new_params}
-            if saved.get('batch_stats') and getattr(state, 'batch_stats',
-                                                    None):
-                replace['batch_stats'] = merge_matching(
-                    jax.device_get(state.batch_stats), saved['batch_stats'],
-                    verbose=False)
-            if getattr(state, 'ema_params', None) is not None:
-                if saved.get('ema_params'):
-                    replace['ema_params'] = merge_matching(
-                        jax.device_get(state.ema_params),
-                        saved['ema_params'], verbose=False)
-                else:
-                    # template keeps an EMA but the snapshot predates it:
-                    # seed the average from the restored weights
-                    replace['ema_params'] = jax.tree_util.tree_map(
-                        np.copy, new_params)
-            epoch = int(restored.get('epoch', -1))
-            return state.replace(**replace), epoch + 1
+            first_err = e
+        # Second chance: the only structural difference may be the
+        # ema_params KEY (old pre-EMA snapshots lack it entirely; an
+        # EMA-trained snapshot carries it into an EMA-disabled config).
+        # A dataclass template always has the field, so the retry uses a
+        # plain-dict template with the key removed / shaped in, which is
+        # how the snapshot itself is stored on disk.
+        if hasattr(state, 'ema_params'):
+            host = jax.device_get(state)
+            base = {f: getattr(host, f) for f in state.__dataclass_fields__}
+            base.pop('ema_params')
+            # (template, restored-ema handler) per snapshot layout
+            attempts = [(dict(base),
+                         lambda rs: (None if state.ema_params is None
+                                     else jax.tree_util.tree_map(
+                                         np.copy, rs['params'])))]
+            if state.ema_params is None:
+                # EMA-trained snapshot into an EMA-disabled config:
+                # restore against a params-shaped slot, then drop it
+                with_ema = dict(base)
+                with_ema['ema_params'] = jax.tree_util.tree_map(
+                    np.copy, base['params'])
+                attempts.append((with_ema, lambda rs: None))
+            for template, ema_of in attempts:
+                try:
+                    restored = ckptr.restore(osp.abspath(chkpt_path),
+                                             {'state': template, 'epoch': 0})
+                    rs = jax.tree_util.tree_map(
+                        lambda t, s: np.asarray(s), template,
+                        restored['state'])
+                    rs.pop('ema_params', None)
+                    new_state = state.replace(ema_params=ema_of(rs), **rs)
+                    start_epoch = int(restored['epoch']) + 1
+                    print('Loaded full train state (ema_params key '
+                          'toggled to match the snapshot); last epoch = '
+                          f'{start_epoch}')
+                    return new_state, start_epoch
+                except Exception:
+                    continue
+        # Tolerant fallback for other structure mismatches: restore raw
+        # and merge path-wise.  It MUST carry the batch_stats — losing
+        # them serves init BN statistics (mean 0 / var 1) and silently
+        # wrecks every prediction (regression: round-3 protocol runs
+        # collapsed to 2D err 0.1 after the EMA field landed).
+        # Optimizer/ALWA state is dropped (documented tolerance, like
+        # the reference's partial load, utils.py:127-183); merges are
+        # VERBOSE so partially-unmatched BN/EMA leaves are reported
+        # instead of silently keeping init values.
+        print(f'Full state restore failed ({type(first_err).__name__}); '
+              'falling back to weight+stats restore')
+        restored = ckptr.restore(osp.abspath(chkpt_path))
+        saved = restored['state'] if 'state' in restored else restored
+        new_params = merge_matching(jax.device_get(state.params),
+                                    saved['params'])
+        replace = {'params': new_params}
+        if saved.get('batch_stats') and getattr(state, 'batch_stats', None):
+            replace['batch_stats'] = merge_matching(
+                jax.device_get(state.batch_stats), saved['batch_stats'])
+        if getattr(state, 'ema_params', None) is not None:
+            if saved.get('ema_params'):
+                replace['ema_params'] = merge_matching(
+                    jax.device_get(state.ema_params), saved['ema_params'])
+            else:
+                # template keeps an EMA but the snapshot predates it:
+                # seed the average from the restored weights
+                replace['ema_params'] = jax.tree_util.tree_map(
+                    np.copy, new_params)
+        epoch = int(restored.get('epoch', -1))
+        return state.replace(**replace), epoch + 1
