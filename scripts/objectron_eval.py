@@ -106,12 +106,29 @@ def main():
                              'protocol 2D error within 0.002 of bf16')
     parser.add_argument('--int8_calib', type=int, default=9,
                         help='number of calibration frames for --int8')
+    parser.add_argument('--preset', type=str, default='',
+                        choices=['', 'recall'],
+                        help="'recall' applies the measured miss-recovery "
+                             'operating point (BASELINE.md round-3 ladder: '
+                             'det_tresh 0.01, det_score_thr 0.005, '
+                             'soft_nms 0.5, soft_nms_dup 0.75, '
+                             'refine_passes 1 — chain mean AP@IoU0.5 '
+                             '0.655 -> 0.759) to every knob the caller '
+                             'left at its default')
     parser.add_argument('--gt_boxes', action='store_true',
                         help='DIAGNOSTIC (not the vendor protocol): bypass '
                              'the detector and crop from GT-keypoint-extent '
                              '+10px boxes — the stage-2+protocol ceiling, '
                              'isolating detector-box damage per class')
     args = parser.parse_args()
+    if args.preset == 'recall':
+        # only fill knobs the caller left at parser defaults, so explicit
+        # flags always win over the preset
+        for knob, value in [('det_tresh', 0.01), ('det_score_thr', 0.005),
+                            ('soft_nms', 0.5), ('soft_nms_dup', 0.75),
+                            ('refine_passes', 1)]:
+            if getattr(args, knob) == parser.get_default(knob):
+                setattr(args, knob, value)
 
     from demo import build_engine   # same engine assembly as the demo CLI
     engine = build_engine(args.reg_config, args.det_checkpoint,
