@@ -34,6 +34,17 @@ fi
 step entry python -c "import __graft_entry__ as g; fn, args = g.entry(); \
 import jax; jax.jit(fn).lower(*args).compile(); print('entry ok')"
 
+# 0c. retrain the chain if the (gitignored) snapshots were wiped with the
+# container.  Idempotent: skipped whenever a snap_* already exists.
+if ! ls -d output/detector_scene/snap_* >/dev/null 2>&1; then
+    step train_detector python scripts/train_detector.py \
+        --config configs/detection/mnv2_ssd_300_scene.py
+fi
+if ! ls output/scene_regressor_el0/snap_* >/dev/null 2>&1; then
+    step train_el0 python scripts/main.py \
+        --config configs/scene_regressor_el0.py
+fi
+
 # 1. int8 MXU probe: does int8 actually beat bf16 through this PJRT stack?
 step probe_int8 python benchmarks/probe_int8.py
 
@@ -58,8 +69,10 @@ step proto_el0_softdup_int8 python benchmarks/validation/protocol_end_to_end.py 
     --report_dir output/protocol_reports_tpu_el0_softdup_int8
 
 # 5. weight-EMA regressor training (net-new vs reference) + its chain leg
-step train_el0_ema python scripts/main.py \
-    --config configs/scene_regressor_el0_ema.py
+if ! ls output/scene_regressor_el0_ema/snap_* >/dev/null 2>&1; then
+    step train_el0_ema python scripts/main.py \
+        --config configs/scene_regressor_el0_ema.py
+fi
 
 step proto_el0_ema python benchmarks/validation/protocol_end_to_end.py \
     --skip_train --reg_config configs/scene_regressor_el0_ema.py \

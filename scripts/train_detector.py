@@ -37,10 +37,10 @@ class _DetBatchLoader(BatchLoader):
     """BatchLoader over (img, boxes, labels, valid) detection items.
     host_transform here is fn(epoch, idx, img, boxes, labels, valid)."""
 
-    def _assemble(self, indices):
+    def _assemble(self, indices, epoch):
         items = [self.dataset[int(i)] for i in indices]
         if self.host_transform is not None:
-            items = [self.host_transform(self._epoch, int(i), *it)
+            items = [self.host_transform(epoch, int(i), *it)
                      for i, it in zip(indices, items)]
         return tuple(np.stack([it[k] for it in items]) for k in range(4))
 

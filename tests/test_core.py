@@ -84,6 +84,21 @@ class TestLoader:
         list(loader)
         assert ds.seen == [0, 1]
 
+    def test_worker_exception_propagates(self):
+        """Regression: a dataset/transform exception in a worker thread must
+        raise in the consuming loop, not strand it on q.get() forever (the
+        round-3 _DetBatchLoader arity break hung training instead of
+        failing it)."""
+        class BoomDs(SyntheticObjectron):
+            def __getitem__(self, idx):
+                if idx == 5:
+                    raise RuntimeError('boom')
+                return super().__getitem__(idx)
+
+        loader = BatchLoader(BoomDs(length=8, resize=(16, 16)), batch_size=4)
+        with pytest.raises(RuntimeError, match='boom'):
+            list(loader)
+
     def test_shuffle_reproducible_across_instances(self):
         ds = SyntheticObjectron(length=16, resize=(32, 32))
         a = [c.tolist() for _, _, c, _ in BatchLoader(ds, 4, shuffle=True,

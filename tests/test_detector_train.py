@@ -116,3 +116,41 @@ class TestDetectorTrain:
         # second step reuses the compiled program and keeps improving state
         state, metrics2 = step(state, *arrays)
         assert np.all(np.isfinite(np.asarray(jax.device_get(metrics2))))
+
+
+class TestDetBatchLoader:
+
+    def test_cli_loader_assemble_signature(self):
+        """Regression: the detector CLI's _DetBatchLoader must override
+        _assemble with the SAME (indices, epoch) signature the BatchLoader
+        producer calls with (the round-3 epoch-coherence fix changed the
+        base call site and the override silently kept the old arity, which
+        crashed every scripts/train_detector.py run at the first batch)."""
+        import importlib.util
+        import os.path as osp
+        import sys
+        spec = importlib.util.spec_from_file_location(
+            'train_detector_cli',
+            osp.join(osp.dirname(__file__), '..', 'scripts',
+                     'train_detector.py'))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules['train_detector_cli'] = spec.loader.exec_module(mod) or mod
+        from tpudet3d.data.det_host_transforms import (
+            build_detection_host_pipeline)
+
+        ds = SyntheticDetection(length=8, input_size=64, max_boxes=4)
+        host_aug = build_detection_host_pipeline(input_size=64, enable=True,
+                                                 seed=5)
+        loader = mod._DetBatchLoader(ds, 4, shuffle=True, drop_last=True,
+                                     num_threads=2,
+                                     host_transform=host_aug)
+        n = 0
+        for imgs, boxes, labels, valid, true_n in loader:
+            assert imgs.shape == (4, 64, 64, 3)
+            assert boxes.shape == (4, 4, 4)
+            assert labels.shape == (4, 4) and valid.shape == (4, 4)
+            assert true_n == 4
+            n += 1
+        assert n == len(loader) == 2
+        # second epoch (epoch threading through the pool workers)
+        assert sum(1 for _ in loader) == 2

@@ -101,16 +101,23 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                futures = [pool.submit(self._assemble, b, epoch)
-                           for b in batches]
-                for i, fut in enumerate(futures):
-                    if stop.is_set():
-                        for f in futures[i:]:
-                            f.cancel()
-                        break
-                    q.put(fut.result())
-            q.put(None)
+            # a worker exception must reach the consumer: a bare raise here
+            # would strand the main thread on q.get() forever (the dead
+            # producer never puts the None sentinel)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    futures = [pool.submit(self._assemble, b, epoch)
+                               for b in batches]
+                    for i, fut in enumerate(futures):
+                        if stop.is_set():
+                            for f in futures[i:]:
+                                f.cancel()
+                            break
+                        q.put(fut.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+            else:
+                q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -118,6 +125,8 @@ class BatchLoader:
             n_emitted = 0
             while True:
                 item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
                 if item is None:
                     break
                 n_emitted += 1
