@@ -64,6 +64,9 @@ def main():
                     help='serve both stages through the int8 PTQ path')
     ap.add_argument('--tta_flip', action='store_true',
                     help='horizontal-flip TTA for the regressor')
+    ap.add_argument('--gt_boxes', action='store_true',
+                    help='stage-2 ceiling diagnostic: regressor on IDEAL '
+                         'GT-extent+10 boxes (forwarded to objectron_eval)')
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
@@ -102,7 +105,8 @@ def main():
          '--det_score_thr', str(args.det_score_thr),
          '--max_detections', str(args.max_detections)]
         + (['--int8'] if args.int8 else [])
-        + (['--tta_flip'] if args.tta_flip else []))
+        + (['--tta_flip'] if args.tta_flip else [])
+        + (['--gt_boxes'] if args.gt_boxes else []))
 
     # summary: AP@3D-IoU>=0.5 bin (bin 10 of 21), AP@ADD<=0.1m (bin 2),
     # mean 3D IoU / mean 2D error per class

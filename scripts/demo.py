@@ -62,8 +62,12 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                                              det_vars.get('batch_stats', {}))}
 
     regressor = build_model(cfg)
+    # crop at the regressor's trained input size (configs may deviate from
+    # the reference's 224^2, e.g. a 288^2 ceiling experiment)
+    crop_size = (tuple(cfg.data.resize) if cfg.get('data')
+                 and cfg.data.get('resize') else (224, 224))
     reg_vars = jax.jit(regressor.init)({'params': key, 'dropout': key},
-                              jnp.zeros((1, 224, 224, 3), jnp.float32),
+                              jnp.zeros((1, *crop_size, 3), jnp.float32),
                               jnp.zeros((1,), jnp.int32))
     reg_snap = reg_checkpoint or (latest_snapshot(cfg.output_dir)
                                   if cfg.output_dir else None)
@@ -77,7 +81,8 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
         print(f'loaded regressor weights from {reg_snap}')
 
     return TwoStageEngine(detector, det_vars, regressor, reg_vars,
-                          EngineConfig(det_conf=det_conf,
+                          EngineConfig(crop_size=crop_size,
+                                       det_conf=det_conf,
                                        max_detections=max_detections,
                                        host_downscale=host_downscale,
                                        crop_margin_px=crop_margin_px,

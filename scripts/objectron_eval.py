@@ -146,7 +146,8 @@ def main():
             '--gt_boxes bypasses the fused engine (plain Regressor '\
             'wrapper) — --int8/--tta_flip would be silently ignored'
         from tpudet3d.infer.wrappers import Regressor
-        gt_box_regressor = Regressor(engine.reg_model, engine.reg_vars)
+        gt_box_regressor = Regressor(engine.reg_model, engine.reg_vars,
+                                     crop_size=engine.cfg.crop_size)
 
     classes = (OBJECTRON_CLASSES if args.classes == ['all'] else args.classes)
 
