@@ -1,11 +1,11 @@
 #!/bin/bash
-# TPU queue, phase 2 — stage-2 ceiling experiments (round 3).
+# TPU queue, phase 2 — finish the el0 baseline + stage-2 ceiling arms.
 # The measured chain is regressor-quality-limited: with IDEAL boxes the
 # protocol ceiling is 0.808 AP / 0.665 mean 3D IoU (BASELINE.md), below
-# VERDICT r2's 0.67 IoU target.  Three arms attack it:
-#   big  — 2x scenes + 1.5x epochs + weight EMA      (capacity of the recipe)
-#   wing — big recipe with the reference's WingLoss  (small-residual gradients)
-#   r288 — big recipe at 288^2 crops                 (finer localization grid)
+# VERDICT r2's 0.67 IoU target.  Arms (one variable each vs el0):
+#   big  — 2x scenes + 1.5x epochs + weight EMA      (recipe scaling)
+#   wing — reference WingLoss at its HPO-tuned w/eps (loss)
+#   r288 — 288^2 crops                               (localization grid)
 # Each arm: train → GT-box ceiling → deployed chain at the miss-recovery
 # operating point.  Single-tenant TPU: run AFTER run_tpu_queue.sh.
 #
@@ -22,7 +22,7 @@ declare -a NAMES RCS
 step() {
     local name=$1; shift
     echo "=== $name: $* (log: $LOGDIR/$name.log)"
-    timeout 10800 "$@" > "$LOGDIR/$name.log" 2>&1
+    timeout 14400 "$@" > "$LOGDIR/$name.log" 2>&1
     local rc=$?
     NAMES+=("$name"); RCS+=("$rc")
     echo "=== $name rc=$rc"
@@ -33,7 +33,27 @@ if [ "${RCS[0]}" != 0 ]; then
     echo "TPU unreachable — aborting queue"; exit 1
 fi
 
-for arm in big wing r288; do
+# 0. finish the el0 baseline if phase 1's 1h step budget truncated it
+# (rc=124 at ~epoch 27 of 40 on a contended host), then re-measure the
+# headline chain with the completed snapshot.
+LAST=$(ls -d output/scene_regressor_el0/snap_* 2>/dev/null | sed 's/.*snap_//' | sort -n | tail -1)
+if [ -n "${LAST}" ] && [ "${LAST}" -lt 39 ]; then
+    sed -e "s#resume=''#resume='./output/scene_regressor_el0/snap_${LAST}'#" \
+        configs/scene_regressor_el0.py > "$LOGDIR/el0_resume_cfg.py"
+    step resume_el0 python scripts/main.py --config "$LOGDIR/el0_resume_cfg.py" \
+        --output_dir output/scene_regressor_el0
+fi
+step proto_el0 python benchmarks/validation/protocol_end_to_end.py \
+    --skip_train --reg_config configs/scene_regressor_el0.py \
+    --refine_passes 1 --det_tresh 0.01 --det_score_thr 0.005 \
+    --soft_nms 0.5 --soft_nms_dup 0.75 \
+    --report_dir output/protocol_reports_el0_full
+
+# 1. fixed int8 probe (conv shapes; phase 1 crashed on a kwarg bug)
+step probe_int8 python benchmarks/probe_int8.py
+
+# 2. ceiling arms
+for arm in wing r288 big; do
     cfg=configs/scene_regressor_el0_${arm}.py
     out=output/scene_regressor_el0_${arm}
     if ! ls -d ${out}/snap_* >/dev/null 2>&1; then

@@ -1,6 +1,7 @@
-# Stage-2 ceiling push, resolution arm: the big recipe at 288^2 crops
-# (1.65x MACs).  Keypoint error is measured in crop-normalized units, so
-# a finer sampling grid attacks the localization floor directly; the
+# Stage-2 ceiling push, resolution arm: scene_regressor_el0.py at 288^2
+# crops (1.65x MACs), everything else identical, so the A/B isolates
+# resolution.  Keypoint error is measured in crop-normalized units, so a
+# finer sampling grid attacks the localization floor directly; the
 # engine crops at the config resize (scripts/demo.py build_engine), so
 # the chain consumes this regressor end-to-end with no other change.
 
@@ -9,13 +10,13 @@ data = dict(
     resize=(288, 288),
     train_batch_size=128,
     val_batch_size=128,
-    max_epochs=60,
+    max_epochs=40,
     num_workers=4,
     category_list='all',
     normalization=dict(mean=[0.5931, 0.4690, 0.4229],
                        std=[0.2471, 0.2214, 0.2157]),
     synthetic='scene',
-    synthetic_length=8192,
+    synthetic_length=4096,
     scene_seed=23,
     scene_cache='./output/scene_cache',
 )
@@ -26,10 +27,10 @@ model = dict(name='efficientnet-lite0', pretrained=False, num_classes=9,
 data_parallel = dict(use_parallel=True, num_devices=None)
 
 optim = dict(name='adam', lr=0.001, momentum=0.9, wd=1e-4, betas=(0.9, 0.999),
-             rho=0.9, alpha=0.99, nesterov=True, ema_decay=0.998)
+             rho=0.9, alpha=0.99, nesterov=True)
 
 scheduler = dict(name='multistepLR', gamma=0.6, exp_gamma=0.975,
-                 steps=[33, 45, 54])
+                 steps=[22, 30, 36])
 
 loss = dict(names=['l1', 'add_loss', 'cross_entropy'], coeffs=([1., .1], [.2]),
             smoothl1_beta=0.2,

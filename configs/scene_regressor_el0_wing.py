@@ -1,22 +1,22 @@
-# Stage-2 ceiling push, wing-loss arm: same big recipe as
-# scene_regressor_el0_big.py but with the reference's WingLoss (HPO-tuned
-# w=5.18, eps=1 — reference scripts/optuna_optim.py:30-31) as the keypoint
-# criterion.  Wing amplifies small-residual gradients, which is exactly
-# the sub-2 px regime the trained regressor sits in (BASELINE.md detector
-# tightness: matched-box p50 1.9 px).
+# Stage-2 ceiling push, wing-loss arm: scene_regressor_el0.py with the
+# reference's WingLoss (HPO-tuned w=5.18, eps=1 — reference
+# scripts/optuna_optim.py:30-31) as the keypoint criterion, everything
+# else identical, so the A/B isolates the loss.  Wing amplifies
+# small-residual gradients — exactly the sub-2 px regime the trained
+# regressor sits in (BASELINE.md detector tightness: p50 1.9 px).
 
 data = dict(
     root='',
     resize=(224, 224),
     train_batch_size=128,
     val_batch_size=128,
-    max_epochs=60,
+    max_epochs=40,
     num_workers=4,
     category_list='all',
     normalization=dict(mean=[0.5931, 0.4690, 0.4229],
                        std=[0.2471, 0.2214, 0.2157]),
     synthetic='scene',
-    synthetic_length=8192,
+    synthetic_length=4096,
     scene_seed=23,
     scene_cache='./output/scene_cache',
 )
@@ -27,10 +27,10 @@ model = dict(name='efficientnet-lite0', pretrained=False, num_classes=9,
 data_parallel = dict(use_parallel=True, num_devices=None)
 
 optim = dict(name='adam', lr=0.001, momentum=0.9, wd=1e-4, betas=(0.9, 0.999),
-             rho=0.9, alpha=0.99, nesterov=True, ema_decay=0.998)
+             rho=0.9, alpha=0.99, nesterov=True)
 
 scheduler = dict(name='multistepLR', gamma=0.6, exp_gamma=0.975,
-                 steps=[33, 45, 54])
+                 steps=[22, 30, 36])
 
 loss = dict(names=['wing', 'add_loss', 'cross_entropy'], coeffs=([1., .1], [.2]),
             smoothl1_beta=0.2,
