@@ -105,14 +105,15 @@ def main():
 
     # -- serving-representative convs (NHWC, batch 32) ----------------
     # (label, x-shape, k-shape, stride)
-    # stride-2 convs are represented by their FLOP-equivalent stride-1
-    # shape at the OUTPUT spatial size (scan carries must be
-    # shape-invariant, and the MXU cost is set by output tiles)
+    # scan carries must be shape-invariant, so every case is channel-
+    # square at stride 1 (the MXU int8-vs-bf16 question is set by tile
+    # occupancy, not by the exact in/out ratio); expansion/projection and
+    # stride-2 convs are represented by their nearest square shape
     cases = [
-        ('1x1 pw 28^2 144->192 ', (32, 28, 28, 144), (1, 1, 144, 192)),
+        ('1x1 pw 28^2 144->144 ', (32, 28, 28, 144), (1, 1, 144, 144)),
         ('1x1 pw 14^2 576->576 ', (32, 14, 14, 576), (1, 1, 576, 576)),
-        ('3x3    56^2  64->128 ', (32, 56, 56, 64), (3, 3, 64, 128)),
-        ('3x3 ~s2 56^2 32->64  ', (32, 56, 56, 32), (3, 3, 32, 64)),
+        ('3x3    56^2  64->64  ', (32, 56, 56, 64), (3, 3, 64, 64)),
+        ('3x3   112^2  32->32  ', (32, 112, 112, 32), (3, 3, 32, 32)),
         ('3x3    75^2  64->64  ', (32, 75, 75, 64), (3, 3, 64, 64)),
     ]
     reps = 4
