@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..detect import generate_anchors, decode_detections, INPUT_SIZE
-from ..ops.image import crop_and_resize, resize_bilinear
+from ..ops.image import (crop_and_resize, crop_and_resize_windowed,
+                         resize_bilinear)
 from .quant import intercepting
 
 __all__ = ['TwoStageEngine', 'EngineConfig', 'refine_boxes',
@@ -96,6 +97,13 @@ class EngineConfig:
     # decay.  Only read when soft_nms_sigma > 0.
     soft_nms_dup_iou: float = 0.75
     crop_size: Tuple[int, int] = (224, 224)
+    # Windowed crop (ops/image.py crop_and_resize_windowed): contract each
+    # crop over a crop_window² dynamic-slice window instead of the whole
+    # frame (~3× fewer crop FLOPs at 720p); boxes larger than the window
+    # sample a squashed whole-frame level instead (double resample).
+    # Measured before defaulting — see BASELINE.md round 3.
+    windowed_crop: bool = False
+    crop_window: int = 512
     expand_ratio: Tuple[float, float] = (1.0, 1.0)
     # Fixed pixel margin added around the detector box before cropping.
     # The regressor trains on GT-extent ±10 px crops (reference
@@ -219,7 +227,13 @@ class TwoStageEngine:
                                  jnp.bfloat16)
 
             def regress(crop_boxes):
-                crops = crop_and_resize(frame, crop_boxes, cfg.crop_size)
+                if cfg.windowed_crop:
+                    crops = crop_and_resize_windowed(
+                        frame, crop_boxes, cfg.crop_size,
+                        win=cfg.crop_window)
+                else:
+                    crops = crop_and_resize(frame, crop_boxes,
+                                            cfg.crop_size)
                 crops = crops * scale - offset
                 k = crops.shape[0]
                 if cfg.tta_flip:
