@@ -14,11 +14,15 @@ probe is the measurement.
 Run on the real chip (single-tenant: not while the TPU queue is up).
 """
 
+import os.path as osp
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
 
 from tpudet3d.ops.image import crop_and_resize, crop_and_resize_windowed
 
