@@ -13,7 +13,11 @@
 #   5. wing GT-box ceiling (cross-container confirmation of 0.914/0.698)
 #   6. wing_big arm (60 ep + EMA on the winning loss)
 #   7. r288 arm (resolution A/B, l1)
-# Every training step resumes from the newest snap_* if interrupted.
+# Every training step resumes from the newest snap_* if interrupted
+# (train_detector.py --resume auto; train_arm's sed-generated resume
+# config is verified before use).  A failed/timed-out train step marks
+# its arm broken and the dependent measure steps are SKIPPED, not
+# silently run against a half-trained snapshot (ADVICE r3).
 # Single-tenant TPU: run alone (never concurrently with bench.py).
 #
 # Usage: bash benchmarks/run_tpu_queue_phase4.sh [logdir]
@@ -33,15 +37,33 @@ step() {
     local rc=$?
     NAMES+=("$name"); RCS+=("$rc")
     echo "=== $name rc=$rc"
+    return $rc
 }
 
-# Train (or resume) a regressor arm unless its final snapshot exists.
+# Record a step as skipped-due-to-dependency without running anything.
+skip_step() {
+    local name=$1 why=$2
+    echo "=== $name SKIPPED: $why"
+    NAMES+=("$name"); RCS+=("SKIP($why)")
+}
+
+# rc of a recorded step (empty if the step never ran)
+rc_of() {
+    local i
+    for i in "${!NAMES[@]}"; do
+        if [ "${NAMES[$i]}" = "$1" ]; then echo "${RCS[$i]}"; return; fi
+    done
+    echo ""
+}
+
+# Train (or resume) a regressor arm unless its FINAL snapshot exists.
 train_arm() {
     local arm=$1 last_epoch=$2
     local cfg=configs/scene_regressor_el0_${arm}.py
     local out=output/scene_regressor_el0_${arm}
     if [ -d "${out}/snap_${last_epoch}" ]; then
         echo "=== train_${arm}: snap_${last_epoch} exists, skipping"
+        NAMES+=("train_${arm}"); RCS+=("0")
         return
     fi
     local LAST
@@ -49,6 +71,14 @@ train_arm() {
     if [ -n "${LAST:-}" ]; then
         sed -e "s#resume=''#resume='./${out}/snap_${LAST}'#" \
             "$cfg" > "$LOGDIR/${arm}_resume_cfg.py"
+        # ADVICE r3: abort the arm if the substitution did not take —
+        # otherwise training silently restarts from epoch 0 over the
+        # same output dir.
+        if ! grep -q "snap_${LAST}" "$LOGDIR/${arm}_resume_cfg.py"; then
+            echo "=== train_${arm}: resume substitution FAILED (cfg has no resume='')"
+            NAMES+=("train_${arm}"); RCS+=("RESUME_SUBST_FAILED")
+            return
+        fi
         step train_${arm} python scripts/main.py \
             --config "$LOGDIR/${arm}_resume_cfg.py" --output_dir "$out"
     else
@@ -56,9 +86,19 @@ train_arm() {
     fi
 }
 
+# Protocol measurement of an arm; refuses to run if the arm's train
+# step (or the shared detector) did not finish cleanly.
 measure_arm() {
     local arm=$1
     local cfg=configs/scene_regressor_el0_${arm}.py
+    local trc drc
+    trc=$(rc_of "train_${arm}"); drc=$(rc_of "train_detector")
+    if [ -n "$drc" ] && [ "$drc" != 0 ]; then
+        skip_step proto_${arm} "train_detector rc=$drc"; return
+    fi
+    if [ "$trc" != 0 ]; then
+        skip_step proto_${arm} "train_${arm} rc=${trc:-never_ran}"; return
+    fi
     step proto_${arm} python benchmarks/validation/protocol_end_to_end.py \
         --skip_train --reg_config ${cfg} \
         --refine_passes 1 --det_tresh 0.01 --det_score_thr 0.005 \
@@ -66,7 +106,8 @@ measure_arm() {
         --report_dir output/protocol_reports_${arm}
 }
 
-step tpu_sanity python -c "import jax; print(jax.devices())"
+# ADVICE r3: jax.devices() succeeds with CPU fallback — assert the platform.
+step tpu_sanity python -c "import jax; ds = jax.devices(); assert ds[0].platform == 'tpu', ds; print(ds)"
 if [ "${RCS[0]}" != 0 ]; then
     echo "TPU unreachable — aborting queue"; exit 1
 fi
@@ -77,10 +118,15 @@ fi
 step probe_int8 python benchmarks/probe_int8.py
 step probe_crop python benchmarks/probe_crop.py
 
-# 2. retrain the chain (fresh container — snapshots wiped)
-if ! ls -d output/detector_scene/snap_* >/dev/null 2>&1; then
+# 2. retrain the chain (fresh container — snapshots wiped).  Gate on the
+#    FINAL snapshot; --resume auto picks up any partial run (ADVICE r3:
+#    a bare snap_* glob here once benchmarked a half-trained detector).
+if [ -d output/detector_scene/snap_39 ]; then
+    echo "=== train_detector: snap_39 exists, skipping"
+    NAMES+=("train_detector"); RCS+=("0")
+else
     step train_detector python scripts/train_detector.py \
-        --config configs/detection/mnv2_ssd_300_scene.py
+        --config configs/detection/mnv2_ssd_300_scene.py --resume auto
 fi
 train_arm wing 39
 
@@ -88,15 +134,20 @@ train_arm wing 39
 measure_arm wing
 
 # 4. wing chain, hard NMS t=0.05 (undiluted per-prediction 3D IoU)
-step proto_wing_t05 python benchmarks/validation/protocol_end_to_end.py \
-    --skip_train --reg_config configs/scene_regressor_el0_wing.py \
-    --refine_passes 1 --det_tresh 0.05 \
-    --report_dir output/protocol_reports_wing_t05
+if [ "$(rc_of train_detector)" = 0 ] && [ "$(rc_of train_wing)" = 0 ]; then
+    step proto_wing_t05 python benchmarks/validation/protocol_end_to_end.py \
+        --skip_train --reg_config configs/scene_regressor_el0_wing.py \
+        --refine_passes 1 --det_tresh 0.05 \
+        --report_dir output/protocol_reports_wing_t05
 
-# 5. wing GT-box ceiling (cross-container confirmation)
-step ceiling_wing python benchmarks/validation/protocol_end_to_end.py \
-    --skip_train --reg_config configs/scene_regressor_el0_wing.py --gt_boxes \
-    --report_dir output/protocol_reports_ceiling_wing
+    # 5. wing GT-box ceiling (cross-container confirmation)
+    step ceiling_wing python benchmarks/validation/protocol_end_to_end.py \
+        --skip_train --reg_config configs/scene_regressor_el0_wing.py --gt_boxes \
+        --report_dir output/protocol_reports_ceiling_wing
+else
+    skip_step proto_wing_t05 "wing chain not trained"
+    skip_step ceiling_wing "wing chain not trained"
+fi
 
 # 6. wing_big arm (2x epochs, EMA, wing loss)
 train_arm wing_big 59
@@ -105,6 +156,10 @@ measure_arm wing_big
 # 7. r288 arm
 train_arm r288 39
 measure_arm r288
+
+# 8. ema arm (40 ep, EMA 0.995, l1 — isolates EMA from the big-schedule arm)
+train_arm ema 39
+measure_arm ema
 
 echo
 echo "=== queue summary"

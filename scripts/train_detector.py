@@ -54,6 +54,9 @@ def main():
     parser.add_argument('--loss_balancing', choices=['on', 'off'], default='',
                         help='override cfg.train_cfg.loss_balancing')
     parser.add_argument('--max_epochs', type=int, default=0)
+    parser.add_argument('--resume', type=str, default='',
+                        help="snapshot path, or 'auto' to resume from the "
+                             'newest snap_* in the output dir')
     args = parser.parse_args()
     cfg = read_py_config(args.config)
     if args.root:
@@ -87,6 +90,17 @@ def main():
     state = create_detector_state(model, opt, root_key,
                                   input_size=int(cfg.input_size),
                                   ema_decay=ema_decay)
+    start_epoch = 0
+    resume_path = args.resume
+    if resume_path == 'auto':
+        from tpudet3d.utils.checkpoint import latest_snapshot
+        resume_path = latest_snapshot(cfg.output_dir) or ''
+        if not resume_path:
+            print('==> --resume auto: no snapshot found, training from scratch')
+    if resume_path:
+        from tpudet3d.utils.checkpoint import resume_from
+        state, start_epoch = resume_from(state, resume_path)
+        print(f'==> resuming detector training at epoch {start_epoch}')
     state = replicate(state, mesh)
 
     if cfg.data.synthetic == 'scene':
@@ -187,7 +201,7 @@ def main():
         print(f'val epoch {epoch}: mAP@0.5 {res["mAP"]:.4f} ({per_cls})',
               flush=True)
 
-    for epoch in range(int(cfg.data.max_epochs)):
+    for epoch in range(start_epoch, int(cfg.data.max_epochs)):
         trainer.train(epoch, epoch == int(cfg.data.max_epochs) - 1)
         if val_loader is not None and \
                 (epoch % int(cfg.utils.save_freq) == 0 or
