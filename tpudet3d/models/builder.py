@@ -30,7 +30,8 @@ def build_backbone(name: str, dtype: Any = jnp.float32):
         return EfficientNetLite(width_mult=width, depth_mult=depth, dtype=dtype)
     params = model_params[name]
     return MobileNetV3(cfgs=tuple(tuple(c) for c in params['cfgs']),
-                       mode=params['mode'], dtype=dtype)
+                       mode=params['mode'],
+                       timm_arch=params.get('timm_arch', False), dtype=dtype)
 
 
 def build_model(config, export_mode: bool = False, dtype: Any = None):

@@ -92,6 +92,11 @@ class InvertedResidual(nn.Module):
 
     expand 1x1 (skipped when exp == in) → depthwise kxk → optional SE →
     project 1x1; identity skip when stride 1 and in == out.
+
+    ``se_after_act``: apply SE after the post-depthwise activation (the
+    published timm/TF ordering used by the reference's 21k variant,
+    mobilenetv3.py:224-231) instead of the d-li14 ordering (SE between the
+    depthwise BN and the activation, reference :151-162).
     """
     in_channels: int
     hidden_dim: int
@@ -100,6 +105,7 @@ class InvertedResidual(nn.Module):
     strides: int
     use_se: bool
     use_hs: bool
+    se_after_act: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,8 +117,9 @@ class InvertedResidual(nn.Module):
             y = ConvBN(self.hidden_dim, 1, 1, act=act, dtype=self.dtype)(y, train)
         y = ConvBN(self.hidden_dim, self.kernel_size, self.strides,
                    groups=self.hidden_dim, act=None, dtype=self.dtype)(y, train)
-        if self.in_channels == self.hidden_dim:
-            # dw-first variant: act after BN, then SE (reference :134-144)
+        if self.in_channels == self.hidden_dim or self.se_after_act:
+            # dw-first variant (reference :134-144) and the timm ordering
+            # both activate first, then squeeze-excite
             y = act(y)
             if self.use_se:
                 y = SqueezeExcite(self.hidden_dim, dtype=self.dtype)(y)

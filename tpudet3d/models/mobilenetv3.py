@@ -62,7 +62,12 @@ MNV3_SMALL_CFG: Sequence[Tuple] = (
 model_params = {
     'mobilenetv3_large': dict(cfgs=MNV3_LARGE_CFG, mode='large'),
     'mobilenetv3_small': dict(cfgs=MNV3_SMALL_CFG, mode='small'),
-    'mobilenetv3_large_21k': dict(cfgs=MNV3_LARGE_CFG, mode='large'),
+    # the 21k variant is architecturally timm's mobilenetv3_large_100 (the
+    # reference wraps the real timm module, mobilenetv3.py:224-231): SE after
+    # the post-depthwise activation and a BN-free post-pool head, so the MIIL
+    # ImageNet-21k checkpoint maps onto it with matching semantics.
+    'mobilenetv3_large_21k': dict(cfgs=MNV3_LARGE_CFG, mode='large',
+                                  timm_arch=True),
 }
 
 
@@ -70,6 +75,7 @@ class MobileNetV3(nn.Module):
     cfgs: Sequence[Tuple] = MNV3_LARGE_CFG
     mode: str = 'large'
     width_mult: float = 1.0
+    timm_arch: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -87,13 +93,16 @@ class MobileNetV3(nn.Module):
             exp_size = make_divisible(input_channel * t, 8)
             blocks.append(InvertedResidual(
                 input_channel, exp_size, out_channel, int(k), int(s),
-                bool(use_se), bool(use_hs), dtype=self.dtype))
+                bool(use_se), bool(use_hs), se_after_act=self.timm_arch,
+                dtype=self.dtype))
             input_channel = out_channel
         # final 1x1 expansion (reference conv_1x1_bn, mobilenetv3.py:188)
         blocks.append(ConvBN(exp_size, 1, 1, act=hard_swish, dtype=self.dtype))
         self.blocks = blocks
         self.head_dense = nn.Dense(self.feature_dim, dtype=self.dtype)
-        self.head_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        if not self.timm_arch:
+            self.head_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                        dtype=self.dtype)
 
     def features(self, x, train: bool = False):
         for block in self.blocks:
@@ -101,9 +110,12 @@ class MobileNetV3(nn.Module):
         return x
 
     def head(self, pooled, train: bool = False):
-        """Post-pool trunk: Dense → BN → h-swish (reference :191-195)."""
+        """Post-pool trunk: Dense → BN → h-swish (reference :191-195); the
+        timm variant is conv_head → h-swish with no BN (timm MobileNetV3
+        head, consumed by the reference via forward_features)."""
         y = self.head_dense(pooled)
-        y = self.head_bn(y, use_running_average=not train)
+        if not self.timm_arch:
+            y = self.head_bn(y, use_running_average=not train)
         return hard_swish(y)
 
     def __call__(self, x, train: bool = False, pooling_mode: str = 'avg'):

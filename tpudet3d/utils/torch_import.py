@@ -47,8 +47,25 @@ def _convert_tensor(name, tensor):
     return arr
 
 
+#: timm efficientnet-family modules that are 1x1 convs in the checkpoint but
+#: dense layers in this package's trunks (SE on pooled features; the
+#: post-pool head conv).  Reshaped [O,I,1,1] → [O,I] before layout
+#: conversion so they land in the dense FIFO queues.
+_TIMM_DENSE_SUFFIXES = ('.se.conv_reduce.weight', '.se.conv_expand.weight')
+
+
+def _is_timm_layout(keys):
+    """timm efficientnet-family state_dicts start with exactly
+    ``conv_stem.weight`` and end with ``conv_head``/``classifier`` — the
+    lukemelas lite layout uses underscore-prefixed ``_conv_stem`` names and
+    must NOT be rewritten (its head conv is a real pre-pool conv)."""
+    ks = set(keys)
+    return 'conv_stem.weight' in ks and 'conv_head.weight' in ks
+
+
 def torch_state_dict_to_flax(state_dict) -> Dict[str, np.ndarray]:
     """Flat {torch_name: converted array} with layout transforms applied."""
+    timm = _is_timm_layout(state_dict.keys())
     out = {}
     for k, v in state_dict.items():
         if k.endswith('num_batches_tracked'):
@@ -57,6 +74,10 @@ def torch_state_dict_to_flax(state_dict) -> Dict[str, np.ndarray]:
             arr = v.detach().cpu().numpy()
         except AttributeError:
             arr = np.asarray(v)
+        if timm and arr.ndim == 4 and arr.shape[2:] == (1, 1) \
+                and (k == 'conv_head.weight'
+                     or k.endswith(_TIMM_DENSE_SUFFIXES)):
+            arr = arr[:, :, 0, 0]
         out[k] = _convert_tensor(k, arr)
     return out
 
@@ -132,19 +153,40 @@ def resolve_pretrained_path(model_name, pretrained):
 
 
 def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
-                               verbose=True):
+                               verbose=True, contract=None, allow_unused=(),
+                               report=None):
     """Ordered-shape-matching merge of a torch checkpoint into flax trees.
 
     Returns ``(new_params, new_batch_stats)``.  Unmatched flax leaves keep
     their initialization; unmatched torch tensors are reported and dropped
     (reference tolerance: utils.py:127-183).
+
+    ``contract``: optional pinned ``[(key, shape), ...]`` list
+    (tpudet3d.utils.pretrained_contract) the checkpoint must equal exactly —
+    keys, shapes AND iteration order.  With a contract, any torch tensor
+    left unconsumed whose name does not match an ``allow_unused`` regex
+    raises instead of being silently dropped (VERDICT r3 missing #1: a real
+    checkpoint must not be able to desync the FIFO matcher quietly).
+    ``report``: optional dict populated with matching statistics.
     """
+    import re as _re
     import torch
     import jax
 
     ckpt = torch.load(checkpoint_path, map_location='cpu')
-    if 'state_dict' in ckpt:
-        ckpt = ckpt['state_dict']
+    for wrapper_key in ('state_dict', 'model'):
+        if wrapper_key in ckpt and hasattr(ckpt[wrapper_key], 'items'):
+            ckpt = ckpt[wrapper_key]
+            break
+    if contract is not None:
+        from .pretrained_contract import verify_state_dict
+        rep = verify_state_dict(ckpt, contract)
+        if not rep['ok']:
+            raise RuntimeError(
+                'checkpoint does not match the pinned contract: '
+                f'missing={rep["missing"][:5]} extra={rep["extra"][:5]} '
+                f'shape_mismatch={rep["shape_mismatch"][:5]} '
+                f'order_ok={rep["order_ok"]}')
     raw_keys = set(ckpt.keys())
     flat_torch = torch_state_dict_to_flax(ckpt)
 
@@ -183,12 +225,22 @@ def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
 
     new_params = merge(params)
     new_bs = merge(batch_stats)
+    leftovers = [q[i][0] for k, q in torch_by_kind.items()
+                 for i in range(used.get(k, 0), len(q))]
     if verbose:
-        leftovers = [q[i][0] for k, q in torch_by_kind.items()
-                     for i in range(used.get(k, 0), len(q))]
         print(f'torch import: matched {matched} tensors, skipped {skipped}'
               + (f'; unused torch tensors: {leftovers[:8]}'
                  f'{"..." if len(leftovers) > 8 else ""}' if leftovers else ''))
+    if report is not None:
+        report.update(matched=matched, skipped=skipped, leftovers=leftovers)
     if matched == 0:
         raise RuntimeError('no torch tensors could be matched')
+    if contract is not None:
+        bad = [n for n in leftovers
+               if not any(_re.fullmatch(p, n) for p in allow_unused)]
+        if bad:
+            raise RuntimeError(
+                'contracted import left torch tensors unconsumed (FIFO '
+                f'desync or architecture gap): {bad[:8]}'
+                f'{"..." if len(bad) > 8 else ""}')
     return new_params, new_bs
