@@ -86,12 +86,24 @@ train_arm() {
     fi
 }
 
+# A measurement step whose log already ends in the protocol MEAN row was
+# completed by an earlier (possibly interrupted) queue run — skip it so a
+# relaunch goes straight to the unfinished tail.
+proto_done() {
+    [ -s "$LOGDIR/$1.log" ] && grep -q '^MEAN' "$LOGDIR/$1.log"
+}
+
 # Protocol measurement of an arm; refuses to run if the arm's train
 # step (or the shared detector) did not finish cleanly.
 measure_arm() {
     local arm=$1
     local cfg=configs/scene_regressor_el0_${arm}.py
     local trc drc
+    if proto_done "proto_${arm}"; then
+        echo "=== proto_${arm}: already measured (log has MEAN row), skipping"
+        NAMES+=("proto_${arm}"); RCS+=("0")
+        return
+    fi
     trc=$(rc_of "train_${arm}"); drc=$(rc_of "train_detector")
     if [ -n "$drc" ] && [ "$drc" != 0 ]; then
         skip_step proto_${arm} "train_detector rc=$drc"; return
@@ -135,15 +147,23 @@ measure_arm wing
 
 # 4. wing chain, hard NMS t=0.05 (undiluted per-prediction 3D IoU)
 if [ "$(rc_of train_detector)" = 0 ] && [ "$(rc_of train_wing)" = 0 ]; then
-    step proto_wing_t05 python benchmarks/validation/protocol_end_to_end.py \
-        --skip_train --reg_config configs/scene_regressor_el0_wing.py \
-        --refine_passes 1 --det_tresh 0.05 \
-        --report_dir output/protocol_reports_wing_t05
+    if proto_done proto_wing_t05; then
+        echo "=== proto_wing_t05: already measured, skipping"
+    else
+        step proto_wing_t05 python benchmarks/validation/protocol_end_to_end.py \
+            --skip_train --reg_config configs/scene_regressor_el0_wing.py \
+            --refine_passes 1 --det_tresh 0.05 \
+            --report_dir output/protocol_reports_wing_t05
+    fi
 
     # 5. wing GT-box ceiling (cross-container confirmation)
-    step ceiling_wing python benchmarks/validation/protocol_end_to_end.py \
-        --skip_train --reg_config configs/scene_regressor_el0_wing.py --gt_boxes \
-        --report_dir output/protocol_reports_ceiling_wing
+    if proto_done ceiling_wing; then
+        echo "=== ceiling_wing: already measured, skipping"
+    else
+        step ceiling_wing python benchmarks/validation/protocol_end_to_end.py \
+            --skip_train --reg_config configs/scene_regressor_el0_wing.py --gt_boxes \
+            --report_dir output/protocol_reports_ceiling_wing
+    fi
 else
     skip_step proto_wing_t05 "wing chain not trained"
     skip_step ceiling_wing "wing chain not trained"

@@ -32,6 +32,7 @@ step probe_streaming python benchmarks/probe_streaming.py
 step roofline python benchmarks/roofline_serving.py
 step profile_serving python benchmarks/profile_serving.py --batch 32
 step ab_windowed_crop python benchmarks/ab_windowed_crop.py
+step batch_sweep python benchmarks/server_batch_sweep.py --batches 16 32 64 128
 step hpo_wing python scripts/optuna_optim.py \
     --config configs/scene_regressor_el0_wing.py \
     -e 6 --n_trials 12 \
