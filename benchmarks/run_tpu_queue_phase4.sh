@@ -124,11 +124,10 @@ if [ "${RCS[0]}" != 0 ]; then
     echo "TPU unreachable — aborting queue"; exit 1
 fi
 
-# 1. quick checkpoint-free probes: fixed int8 conv probe + windowed-crop
-#    A/B (a0eb88e landed the option unmeasured; if the window wins,
-#    flip EngineConfig.windowed_crop and re-bench)
+# 1. quick checkpoint-free probe: fixed int8 conv probe.  (The windowed
+#    crop probe/A-B ran in rounds 3-4 and the option was DELETED per the
+#    measurement: -9.6% end-to-end at batch 32 — BASELINE.md round 4.)
 step probe_int8 python benchmarks/probe_int8.py
-step probe_crop python benchmarks/probe_crop.py
 
 # 2. retrain the chain (fresh container — snapshots wiped).  Gate on the
 #    FINAL snapshot; --resume auto picks up any partial run (ADVICE r3:

@@ -6,7 +6,9 @@
 #   1. streaming decomposition (dispatch vs device; p50/p99 latency)
 #   2. serving roofline (XLA cost analysis vs v5e peaks)
 #   3. post-bf16 serving op profile (the BASELINE.md table is the *before*)
-#   4. windowed-crop end-to-end A/B at batch 32 (measure-or-delete)
+#   4. windowed-crop end-to-end A/B at batch 32 (measure-or-delete; ran
+#      2026-08-19: window LOST -9.6%/-21%, option deleted — the step below
+#      is kept commented as the record of how the number was made)
 #   5. wing (w, eps) HPO study on the scene-regressor task — the repo's own
 #      harness exercised for real (reference scripts/optuna_optim.py:30-31)
 #
@@ -31,7 +33,7 @@ if [ $? != 0 ]; then echo "TPU unreachable — aborting queue"; exit 1; fi
 step probe_streaming python benchmarks/probe_streaming.py
 step roofline python benchmarks/roofline_serving.py
 step profile_serving python benchmarks/profile_serving.py --batch 32
-step ab_windowed_crop python benchmarks/ab_windowed_crop.py
+# step ab_windowed_crop python benchmarks/ab_windowed_crop.py  # (deleted with the option)
 step batch_sweep python benchmarks/server_batch_sweep.py --batches 16 32 64 128
 step hpo_wing python scripts/optuna_optim.py \
     --config configs/scene_regressor_el0_wing.py \

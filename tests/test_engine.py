@@ -57,33 +57,6 @@ class TestEngineDefault:
         assert set(out.keys()) == {'boxes', 'scores', 'det_labels', 'kp',
                                    'labels'}
 
-    def test_windowed_crop_matches_full(self):
-        """windowed_crop=True with a window covering the whole frame is
-        the same resample as the full-frame path (level 0, shifted
-        coords) — outputs must agree up to bf16 contraction rounding."""
-        key = jax.random.PRNGKey(0)
-        detector = SSDDetector(num_classes=9, width_mult=0.25)
-        det_vars = detector.init(key, jnp.zeros((1, 300, 300, 3)))
-        cfg = AttrDict(model=dict(name='mobilenetv3_small', pretrained=False,
-                                  num_classes=9, bf16=False))
-        regressor = build_model(cfg)
-        reg_vars = regressor.init({'params': key, 'dropout': key},
-                                  jnp.zeros((1, 64, 64, 3), jnp.float32),
-                                  jnp.zeros((1,), jnp.int32))
-        frame = np.random.RandomState(1).randint(0, 255, (360, 640, 3)) \
-            .astype(np.uint8)
-        kwargs = dict(det_conf=0.0, max_detections=4, crop_size=(64, 64))
-        base = TwoStageEngine(detector, det_vars, regressor, reg_vars,
-                              EngineConfig(**kwargs))(frame)
-        win = TwoStageEngine(detector, det_vars, regressor, reg_vars,
-                             EngineConfig(windowed_crop=True,
-                                          crop_window=1024,
-                                          **kwargs))(frame)
-        np.testing.assert_allclose(win['boxes'], base['boxes'],
-                                   rtol=1e-4, atol=1e-2)
-        assert np.array_equal(win['labels'], base['labels'])
-        np.testing.assert_allclose(win['kp'], base['kp'], atol=0.05)
-
     def test_refinement_box_geometry(self):
         """refine_passes=1: the returned boxes must be exactly the pass-1
         predicted-keypoint extent ± refine_margin_px (clipped), computable

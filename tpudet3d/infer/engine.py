@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..detect import generate_anchors, decode_detections, INPUT_SIZE
-from ..ops.image import (crop_and_resize, crop_and_resize_windowed,
+from ..ops.image import (crop_and_resize,
                          resize_bilinear)
 from .quant import intercepting
 
@@ -97,13 +97,10 @@ class EngineConfig:
     # decay.  Only read when soft_nms_sigma > 0.
     soft_nms_dup_iou: float = 0.75
     crop_size: Tuple[int, int] = (224, 224)
-    # Windowed crop (ops/image.py crop_and_resize_windowed): contract each
-    # crop over a crop_window² dynamic-slice window instead of the whole
-    # frame (~3× fewer crop FLOPs at 720p); boxes larger than the window
-    # sample a squashed whole-frame level instead (double resample).
-    # Measured before defaulting — see BASELINE.md round 3.
-    windowed_crop: bool = False
-    crop_window: int = 512
+    # (A windowed crop-resize variant was measured and removed: -9.6%
+    # end-to-end at batch 32 despite ~3x fewer crop FLOPs — the full-frame
+    # separable-matmul crop is bandwidth-cheap and the window's
+    # dynamic-slices serialize.  BASELINE.md round 4.)
     expand_ratio: Tuple[float, float] = (1.0, 1.0)
     # Fixed pixel margin added around the detector box before cropping.
     # The regressor trains on GT-extent ±10 px crops (reference
@@ -227,13 +224,7 @@ class TwoStageEngine:
                                  jnp.bfloat16)
 
             def regress(crop_boxes):
-                if cfg.windowed_crop:
-                    crops = crop_and_resize_windowed(
-                        frame, crop_boxes, cfg.crop_size,
-                        win=cfg.crop_window)
-                else:
-                    crops = crop_and_resize(frame, crop_boxes,
-                                            cfg.crop_size)
+                crops = crop_and_resize(frame, crop_boxes, cfg.crop_size)
                 crops = crops * scale - offset
                 k = crops.shape[0]
                 if cfg.tta_flip:
@@ -276,27 +267,22 @@ class TwoStageEngine:
                 conf_mask.astype(jnp.float32)[:, None]], axis=-1)
             return packed
 
-        jit_one = partial(jax.jit,
-                          static_argnames=('h', 'w', 'margin',
-                                           'refine_margin'))(pipeline_core)
-
-        @partial(jax.jit, static_argnames=('h', 'w'))
-        def jit_batch(det_vars, reg_vars, frames_u8, h, w):
-            """Server mode: N frames in one program — the SSD runs as one
-            batched forward and all N*K crops as one regressor forward."""
-            return jax.vmap(lambda f: pipeline_core(
-                det_vars, reg_vars, f, h, w, cfg.crop_margin_px))(frames_u8)
-
         # public callables keep the (frame, h, w[, margin]) signature used
-        # by bench.py and the sweep scripts; weights injected per call.
-        # Per-shape AOT executables replace the per-call jit dispatch:
-        # ``static_argnames`` jits take the slow Python dispatch path
-        # (~0.7 ms/call on this host — measured as the 2846→3027 fps gap
-        # in benchmarks/roofline_serving.py), so each distinct
-        # (shape, statics) signature is lowered+compiled ONCE and then
-        # invoked through the compiled handle — the inference-engine
+        # by bench.py and the sweep scripts.  Per-shape AOT executables
+        # with the weights baked in as compile-time constants replace the
+        # per-call jit dispatch: ``static_argnames`` jits take the slow
+        # Python dispatch path and passing the ~300-leaf weight pytree per
+        # call costs another flatten — together ~0.7 ms/call on this host
+        # (measured as the 2841→3027 fps gap, benchmarks/roofline_serving.py
+        # vs server_batch_sweep.py).  Each distinct (shape, statics)
+        # signature is lowered+compiled ONCE over the frames argument only
+        # and invoked through the compiled handle — the inference-engine
         # behavior of the reference's IE runtime (ie_wrappers.py:48-67),
-        # done the XLA way.
+        # done the XLA way.  ``_build_pipelines`` resets the cache, so
+        # weight swaps (shard, int8 toggles) rebuild the executables; the
+        # lowering is cheap because the captured weights are already on
+        # device.  (Weights-as-arguments was measured in between: the
+        # pytree flatten alone kept ~0.4 ms of the gap.)
         self._exe_cache = {}
 
         def pipeline(frame_u8, h, w, margin=None, refine_margin=None):
@@ -310,21 +296,27 @@ class TwoStageEngine:
                    h, w, margin, refine_margin)
             exe = self._exe_cache.get(key)
             if exe is None:
-                exe = jit_one.lower(self.det_vars, self.reg_vars, frame_u8,
-                                    h=h, w=w, margin=margin,
-                                    refine_margin=refine_margin).compile()
+                dv, rv = self.det_vars, self.reg_vars
+                exe = jax.jit(
+                    lambda f: pipeline_core(dv, rv, f, h, w, margin,
+                                            refine_margin)
+                ).lower(frame_u8).compile()
                 self._exe_cache[key] = exe
-            return exe(self.det_vars, self.reg_vars, frame_u8)
+            return exe(frame_u8)
 
         def pipeline_batch(frames_u8, h, w):
             key = ('batch', tuple(frames_u8.shape), str(frames_u8.dtype),
                    h, w)
             exe = self._exe_cache.get(key)
             if exe is None:
-                exe = jit_batch.lower(self.det_vars, self.reg_vars,
-                                      frames_u8, h=h, w=w).compile()
+                dv, rv = self.det_vars, self.reg_vars
+                exe = jax.jit(
+                    lambda fs: jax.vmap(
+                        lambda f: pipeline_core(dv, rv, f, h, w,
+                                                cfg.crop_margin_px))(fs)
+                ).lower(frames_u8).compile()
                 self._exe_cache[key] = exe
-            return exe(self.det_vars, self.reg_vars, frames_u8)
+            return exe(frames_u8)
 
         self._pipeline = pipeline
         self._pipeline_batch = pipeline_batch

@@ -12,8 +12,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ['crop_and_resize', 'crop_and_resize_windowed',
-           'crop_and_resize_gather', 'resize_bilinear', 'normalize_images']
+__all__ = ['crop_and_resize', 'crop_and_resize_gather',
+           'resize_bilinear', 'normalize_images']
 
 
 def resize_bilinear(img, out_hw, dtype=jnp.float32):
@@ -115,89 +115,6 @@ def crop_and_resize(image, boxes, out_hw=(224, 224),
         # accumulate in f32 (preferred_element_type), store crops in the
         # compute dtype: the [K,224,224,3] intermediate is read once by
         # the regressor stem, and halving it saves HBM round trips
-        return out.astype(compute_dtype) if compute_dtype != jnp.float32 \
-            else out
-
-    return jax.vmap(one)(boxes.astype(jnp.float32))
-
-
-def _squash_level(image, win):
-    """Whole frame resampled into a [win, win, 3] level (any box fits)."""
-    small = resize_bilinear(image, (win, win), jnp.float32)
-    if image.dtype == jnp.uint8:
-        small = jnp.clip(jnp.round(small), 0, 255)
-    return small.astype(image.dtype)
-
-
-@partial(jax.jit, static_argnames=('out_hw', 'win', 'compute_dtype'))
-def crop_and_resize_windowed(image, boxes, out_hw=(224, 224), win=512,
-                             compute_dtype=jnp.bfloat16):
-    """Windowed variant of :func:`crop_and_resize`: same separable-matmul
-    resampling, but each crop contracts over a ``win``² window of the
-    frame instead of the whole frame.
-
-    The full-frame formulation burns ~1.65 GFLOP per 720p crop in
-    mostly-zero interpolation matrices (224×720 row and 224×1280 column
-    matrices carry ≤2 nonzeros per row); windowing cuts that to ~0.5 GFLOP.
-    The window source is a per-frame two-level canvas:
-
-      * level 0 — the frame itself (zero-padded up to ``win`` per side):
-        boxes with both sides ≤ win−4 px take a ``lax.dynamic_slice``
-        window at the box corner; the resample is then bitwise the same
-        math as the full-frame path (coords are merely shifted).
-      * level 1 — the whole frame squashed into win² (``_squash_level``):
-        oversized boxes sample from it instead.  This is a double
-        resample (≈ mild area filtering), an approximation the full-frame
-        path doesn't make — measured on the protocol chain before
-        flipping any default (BASELINE.md).
-
-    The level pick is a per-box ``where`` on the slice origin — no
-    ``lax.cond``, so nothing doubles under ``vmap``.  Replaces the
-    per-detection host cv2 crop of the reference
-    (torchdet3d/utils/ie_wrappers.py:128-136) like ``crop_and_resize``.
-    """
-    h_in, w_in = image.shape[0], image.shape[1]
-    h_out, w_out = out_hw
-    ch = max(h_in, win)                     # level-0 canvas rows
-    cw = max(w_in, win)
-    lvl0 = image
-    if (ch, cw) != (h_in, w_in):
-        lvl0 = jnp.pad(image, ((0, ch - h_in), (0, cw - w_in), (0, 0)))
-    lvl1 = _squash_level(image, win)
-    if cw != win:
-        lvl1 = jnp.pad(lvl1, ((0, 0), (0, cw - win), (0, 0)))
-    canvas = jnp.concatenate([lvl0, lvl1], axis=0)   # [ch+win, cw, 3]
-
-    def one(box):
-        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
-        bw = jnp.maximum(x1 - x0, 1.0)
-        bh = jnp.maximum(y1 - y0, 1.0)
-        ys = (jnp.arange(h_out, dtype=jnp.float32) + 0.5) * (bh / h_out) \
-            - 0.5 + y0
-        xs = (jnp.arange(w_out, dtype=jnp.float32) + 0.5) * (bw / w_out) \
-            - 0.5 + x0
-        ys = jnp.clip(ys, 0.0, h_in - 1.0)            # replicate border,
-        xs = jnp.clip(xs, 0.0, w_in - 1.0)            # as the full path
-        fits = jnp.logical_and(bh <= win - 4, bw <= win - 4)
-        # level-0 window origin: floor(corner)−1 keeps the first sample
-        # (≥ corner−0.5) strictly inside; clamping only moves the origin
-        # down/left, which widens coverage
-        wy0 = jnp.clip(jnp.floor(y0) - 1, 0, ch - win)
-        wx0 = jnp.clip(jnp.floor(x0) - 1, 0, cw - win)
-        ys1 = jnp.clip((ys + 0.5) * (win / h_in) - 0.5, 0.0, win - 1.0)
-        xs1 = jnp.clip((xs + 0.5) * (win / w_in) - 0.5, 0.0, win - 1.0)
-        oy = jnp.where(fits, wy0, ch).astype(jnp.int32)
-        ox = jnp.where(fits, wx0, 0).astype(jnp.int32)
-        rys = jnp.where(fits, jnp.clip(ys - wy0, 0.0, win - 1.0), ys1)
-        rxs = jnp.where(fits, jnp.clip(xs - wx0, 0.0, win - 1.0), xs1)
-        window = jax.lax.dynamic_slice(canvas, (oy, ox, jnp.int32(0)),
-                                       (win, win, 3))
-        wy = _interp_matrix(rys, win).astype(compute_dtype)       # [h, win]
-        wx = _interp_matrix(rxs, win).astype(jnp.float32)         # [w, win]
-        rows = jnp.einsum('ph,hwc->pwc', wy, window.astype(compute_dtype),
-                          preferred_element_type=jnp.float32)
-        out = jnp.einsum('qw,pwc->pqc', wx, rows,
-                         preferred_element_type=jnp.float32)
         return out.astype(compute_dtype) if compute_dtype != jnp.float32 \
             else out
 
