@@ -172,6 +172,12 @@ fi
 train_arm wing_big 59
 measure_arm wing_big
 
+# 6b. HPO arm: the repo's own optuna study's best wing params
+#     (w=4.6616, eps=0.0967 — output/tpu_queue5/hpo_wing.log) A/B'd
+#     against the inherited w=5.18/eps=1 through the chain
+train_arm hpo 39
+measure_arm hpo
+
 # 7. r288 arm
 train_arm r288 39
 measure_arm r288
