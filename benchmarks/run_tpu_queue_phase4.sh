@@ -168,23 +168,28 @@ else
     skip_step ceiling_wing "wing chain not trained"
 fi
 
-# 6. wing_big arm (2x epochs, EMA, wing loss)
-train_arm wing_big 59
-measure_arm wing_big
+# Arms ordered cheapest-first (the 1-core host loader bounds training at
+# ~1.6 s/step, so wing_big's 60 ep x 128 steps is a ~3.4 h cell): the
+# hpo/ema/r288 rows land even if the round boundary cuts wing_big, which
+# resumes from its newest snapshot next relaunch.
 
-# 6b. HPO arm: the repo's own optuna study's best wing params
-#     (w=4.6616, eps=0.0967 — output/tpu_queue5/hpo_wing.log) A/B'd
-#     against the inherited w=5.18/eps=1 through the chain
+# 6. HPO arm: the repo's own optuna study's best wing params
+#    (w=4.6616, eps=0.0967 — output/tpu_queue5/hpo_wing.log) A/B'd
+#    against the inherited w=5.18/eps=1 through the chain
 train_arm hpo 39
 measure_arm hpo
 
-# 7. r288 arm
+# 7. ema arm (40 ep, EMA 0.995, l1 — isolates EMA from the big-schedule arm)
+train_arm ema 39
+measure_arm ema
+
+# 8. r288 arm
 train_arm r288 39
 measure_arm r288
 
-# 8. ema arm (40 ep, EMA 0.995, l1 — isolates EMA from the big-schedule arm)
-train_arm ema 39
-measure_arm ema
+# 9. wing_big arm (2x epochs + 2x data, EMA, wing loss — the expensive cell)
+train_arm wing_big 59
+measure_arm wing_big
 
 echo
 echo "=== queue summary"
