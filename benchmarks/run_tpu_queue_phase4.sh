@@ -187,9 +187,16 @@ measure_arm ema
 train_arm r288 39
 measure_arm r288
 
-# 9. wing_big arm (2x epochs + 2x data, EMA, wing loss — the expensive cell)
-train_arm wing_big 59
-measure_arm wing_big
+# 9. wing_big arm (2x epochs + 2x data, EMA, wing loss — the expensive
+#    ~3.4 h cell).  Gated behind RUN_WING_BIG=1 so a near-round-boundary
+#    relaunch can land r288 without starting a cell that cannot finish
+#    (it resumes from its newest snapshot when a future queue runs it).
+if [ "${RUN_WING_BIG:-0}" = 1 ]; then
+    train_arm wing_big 59
+    measure_arm wing_big
+else
+    skip_step train_wing_big "RUN_WING_BIG not set (expensive cell deferred)"
+fi
 
 echo
 echo "=== queue summary"
