@@ -15,7 +15,6 @@ returns device futures; ``wait_and_grab`` materializes them.
 """
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
