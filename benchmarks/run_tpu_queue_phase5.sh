@@ -24,11 +24,17 @@ step() {
     local name=$1; shift
     echo "=== $name: $* (log: $LOGDIR/$name.log)"
     timeout 16000 "$@" > "$LOGDIR/$name.log" 2>&1
-    echo "=== $name rc=$?"
+    local rc=$?
+    echo "=== $name rc=$rc"
+    return $rc
 }
 
-step tpu_sanity python -c "import jax; ds = jax.devices(); assert ds[0].platform == 'tpu', ds; print(ds)"
-if [ $? != 0 ]; then echo "TPU unreachable — aborting queue"; exit 1; fi
+# Guard must test step()'s return value — the previous `if [ $? != 0 ]`
+# was dead code because step() ended in an echo, so a TPU outage would
+# have silently run the whole perf queue on CPU fallback (ADVICE r4).
+if ! step tpu_sanity python -c "import jax; ds = jax.devices(); assert ds[0].platform == 'tpu', ds; print(ds)"; then
+    echo "TPU unreachable — aborting queue"; exit 1
+fi
 
 step probe_streaming python benchmarks/probe_streaming.py
 step roofline python benchmarks/roofline_serving.py

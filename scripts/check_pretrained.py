@@ -58,7 +58,11 @@ def main():
     from tpudet3d.utils.pretrained_contract import verify_state_dict
     from tpudet3d.utils.torch_import import load_torch_checkpoint_into
 
-    ckpt = torch.load(args.ckpt, map_location='cpu')
+    # This script's whole purpose is vetting an externally downloaded
+    # file BEFORE it is trusted — so the load itself must not execute
+    # pickle code from it (ADVICE r4).  No legacy fallback here: a file
+    # that needs unrestricted pickle fails the vetting by definition.
+    ckpt = torch.load(args.ckpt, map_location='cpu', weights_only=True)
     for wrapper_key in ('state_dict', 'model'):
         if wrapper_key in ckpt and hasattr(ckpt[wrapper_key], 'items'):
             ckpt = ckpt[wrapper_key]

@@ -122,9 +122,40 @@ class TestEngineDefault:
         # y-high: kp_px.max = 200, grow = 0.2*100 = 20 → 220
         np.testing.assert_allclose(out[0, 3], 220.0, atol=1e-3)
 
+    def test_weight_swap_invalidates_executables(self):
+        """Weights are baked into the per-shape AOT executables, so a bare
+        ``engine.det_vars = ...`` must invalidate the cache — otherwise the
+        engine silently serves stale weights (ADVICE r4).  Attribute-level
+        check: no compile needed."""
+        engine = tiny_engine()
+        engine._exe_cache['sentinel'] = object()
+        engine.det_vars = engine.det_vars
+        assert engine._exe_cache == {}
+        engine._exe_cache['sentinel'] = object()
+        engine.reg_vars = engine.reg_vars
+        assert engine._exe_cache == {}
+
 
 @slow
 class TestEngine:
+
+    def test_batch_margin_mutation_recompiles(self):
+        """cfg.crop_margin_px mutation after a first same-shape batch call
+        must key a NEW batch executable (ADVICE r4: the old key omitted the
+        margin, so the mutation was silently ignored while the single-frame
+        path honored it)."""
+        engine = tiny_engine()
+        frames = np.random.RandomState(0).randint(
+            0, 255, (2, 360, 640, 3)).astype(np.uint8)
+        r0 = engine.infer_batch(frames)
+        engine.cfg.crop_margin_px = 25.0
+        r1 = engine.infer_batch(frames)
+        batch_keys = [k for k in engine._exe_cache if k[0] == 'batch']
+        assert len(batch_keys) == 2
+        assert {k[-1] for k in batch_keys} == {engine.cfg.crop_margin_px,
+                                               0.0}
+        # the margin actually took effect on the returned boxes
+        assert not np.allclose(r0[0]['boxes'], r1[0]['boxes'])
 
     def test_crop_margin_expands_boxes(self):
         """crop_margin_px grows each returned box by the margin on every

@@ -156,6 +156,7 @@ class TwoStageEngine:
     def __init__(self, detector_model, detector_vars, regressor_model,
                  regressor_vars, config: Optional[EngineConfig] = None):
         self.cfg = config or EngineConfig()
+        self._exe_cache = {}
         self.det_model = detector_model
         self.det_vars = detector_vars
         self.reg_model = regressor_model
@@ -164,6 +165,29 @@ class TwoStageEngine:
         self._pending = []   # FIFO of in-flight device results
         self._mesh = None    # set by shard(); batches sharded over 'data'
         self._build_pipelines()
+
+    # Weights are baked into the per-shape AOT executables as compile-time
+    # constants, so a bare ``engine.det_vars = ...`` would otherwise serve
+    # stale weights with no error.  The setters invalidate the executable
+    # cache; the pipelines re-read these attributes at lowering time, so
+    # the next call compiles against the new weights (ADVICE r4).
+    @property
+    def det_vars(self):
+        return self._det_vars
+
+    @det_vars.setter
+    def det_vars(self, v):
+        self._det_vars = v
+        self._exe_cache = {}
+
+    @property
+    def reg_vars(self):
+        return self._reg_vars
+
+    @reg_vars.setter
+    def reg_vars(self, v):
+        self._reg_vars = v
+        self._exe_cache = {}
 
     def _build_pipelines(self):
         cfg = self.cfg
@@ -174,10 +198,13 @@ class TwoStageEngine:
             # path passes crop_margin_px / d so the crop geometry stays
             # ±crop_margin_px in SOURCE pixels (the distribution the
             # regressor trained on) regardless of the upload scale.
-            # Weights travel as ARGUMENTS: a closure over on-device params
-            # makes every (shape)-lowering fetch each leaf through the
-            # host link separately — minutes per program on this harness
-            # (same class of bug as __graft_entry__.entry).
+            # Weights arrive via CLOSURE and are baked into each per-shape
+            # AOT executable as compile-time constants (see the cache note
+            # below): the lowering is cheap because the captured leaves are
+            # already on device, and baking removes the ~0.7 ms/call jit
+            # dispatch + pytree-flatten cost of weights-as-arguments.
+            # Consequence: a weight swap MUST invalidate the executables —
+            # the det_vars/reg_vars property setters do that.
             # Keep the frame uint8 until each consumer's first compute and
             # run preprocessing in bf16: integer pixel values are exact in
             # bf16 and the f32 full-frame materializations were 8% of the
@@ -284,6 +311,20 @@ class TwoStageEngine:
         # pytree flatten alone kept ~0.4 ms of the gap.)
         self._exe_cache = {}
 
+        def cached_exe(key, build):
+            exe = self._exe_cache.get(key)
+            if exe is None:
+                # Bound the cache: distinct (shape, statics) signatures are
+                # few in practice (one or two per deployment), but margins
+                # and shapes are caller-controlled — evict FIFO so a shape
+                # sweep can't pin an unbounded set of executables (each
+                # bakes ~20 MB of weights).
+                if len(self._exe_cache) >= 16:
+                    self._exe_cache.pop(next(iter(self._exe_cache)))
+                exe = build()
+                self._exe_cache[key] = exe
+            return exe
+
         def pipeline(frame_u8, h, w, margin=None, refine_margin=None):
             # resolve at CALL time so cfg.crop_margin_px mutations after
             # construction are honored (bench/sweep callers omit margin)
@@ -293,28 +334,27 @@ class TwoStageEngine:
                 refine_margin = self.cfg.refine_margin_px
             key = ('one', tuple(frame_u8.shape), str(frame_u8.dtype),
                    h, w, margin, refine_margin)
-            exe = self._exe_cache.get(key)
-            if exe is None:
-                dv, rv = self.det_vars, self.reg_vars
-                exe = jax.jit(
-                    lambda f: pipeline_core(dv, rv, f, h, w, margin,
-                                            refine_margin)
-                ).lower(frame_u8).compile()
-                self._exe_cache[key] = exe
+            dv, rv = self.det_vars, self.reg_vars
+            exe = cached_exe(key, lambda: jax.jit(
+                lambda f: pipeline_core(dv, rv, f, h, w, margin,
+                                        refine_margin)
+            ).lower(frame_u8).compile())
             return exe(frame_u8)
 
-        def pipeline_batch(frames_u8, h, w):
+        def pipeline_batch(frames_u8, h, w, margin=None):
+            # margin resolves at CALL time and keys the cache, matching
+            # the single-frame path: a cfg.crop_margin_px mutation after
+            # the first same-shape call triggers a recompile instead of
+            # being silently ignored (ADVICE r4).
+            if margin is None:
+                margin = self.cfg.crop_margin_px
             key = ('batch', tuple(frames_u8.shape), str(frames_u8.dtype),
-                   h, w)
-            exe = self._exe_cache.get(key)
-            if exe is None:
-                dv, rv = self.det_vars, self.reg_vars
-                exe = jax.jit(
-                    lambda fs: jax.vmap(
-                        lambda f: pipeline_core(dv, rv, f, h, w,
-                                                cfg.crop_margin_px))(fs)
-                ).lower(frames_u8).compile()
-                self._exe_cache[key] = exe
+                   h, w, margin)
+            dv, rv = self.det_vars, self.reg_vars
+            exe = cached_exe(key, lambda: jax.jit(
+                lambda fs: jax.vmap(
+                    lambda f: pipeline_core(dv, rv, f, h, w, margin))(fs)
+            ).lower(frames_u8).compile())
             return exe(frames_u8)
 
         self._pipeline = pipeline

@@ -173,7 +173,15 @@ def load_torch_checkpoint_into(params, batch_stats, checkpoint_path,
     import torch
     import jax
 
-    ckpt = torch.load(checkpoint_path, map_location='cpu')
+    # weights_only: the files this loads are downloaded third-party
+    # checkpoints, and unrestricted pickle executes arbitrary code from
+    # the file BEFORE any contract check can run (ADVICE r4).  Old torch
+    # without the kwarg falls back to the unrestricted path.
+    try:
+        ckpt = torch.load(checkpoint_path, map_location='cpu',
+                          weights_only=True)
+    except TypeError:
+        ckpt = torch.load(checkpoint_path, map_location='cpu')
     for wrapper_key in ('state_dict', 'model'):
         if wrapper_key in ckpt and hasattr(ckpt[wrapper_key], 'items'):
             ckpt = ckpt[wrapper_key]
