@@ -68,6 +68,8 @@ def main():
                                      'snap_39'))
     ap.add_argument('--per_class', type=int, default=16)
     ap.add_argument('--score_thr', type=float, default=0.05)
+    ap.add_argument('--box_vote', type=float, default=0.0,
+                    help='box-voting IoU threshold in the decode (0 = off)')
     ap.add_argument('--seed', type=int, default=77,
                     help='base eval seed (write_eval_shards default in the '
                          'protocol runner)')
@@ -91,7 +93,8 @@ def main():
                                    min_objects=1, max_objects=3)
             out = osp.join(td, f'{cls}.npz')
             generate_selflabel_boxes(scene, args.det_checkpoint, out,
-                                     score_thr=args.score_thr)
+                                     score_thr=args.score_thr,
+                                     box_vote_iou=args.box_vote)
             data = np.load(out)
             miou, p50, p90, nm, no = box_stats(scene, data['boxes'],
                                                data['valid'])

@@ -67,11 +67,18 @@ def main():
     ap.add_argument('--gt_boxes', action='store_true',
                     help='stage-2 ceiling diagnostic: regressor on IDEAL '
                          'GT-extent+10 boxes (forwarded to objectron_eval)')
+    ap.add_argument('--det_dir', type=str, default='',
+                    help='stage-1 snapshot dir (default: '
+                         'output/detector_scene; e.g. output/detector_cascade '
+                         'for the cascade box-quality arm)')
+    ap.add_argument('--box_vote', type=float, default=0.0,
+                    help='box-voting IoU threshold for the detector decode '
+                         '(0 = off; forwarded to objectron_eval)')
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
 
-    det_dir = osp.join(_ROOT, 'output', 'detector_scene')
+    det_dir = args.det_dir or osp.join(_ROOT, 'output', 'detector_scene')
     reg_cfg = args.reg_config
     if not args.skip_train:
         run([sys.executable, 'scripts/train_detector.py',
@@ -103,6 +110,7 @@ def main():
          '--soft_nms', str(args.soft_nms),
          '--soft_nms_dup', str(args.soft_nms_dup),
          '--det_score_thr', str(args.det_score_thr),
+         '--box_vote', str(args.box_vote),
          '--max_detections', str(args.max_detections)]
         + (['--int8'] if args.int8 else [])
         + (['--tta_flip'] if args.tta_flip else [])

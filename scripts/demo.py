@@ -36,7 +36,7 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                  det_conf=0.7, max_detections=8, host_downscale=1,
                  crop_margin_px=10.0, refine_passes=0, refine_margin_px=10.0,
                  score_thr=0.02, soft_nms_sigma=0.0, soft_nms_dup_iou=0.75,
-                 tta_flip=False):
+                 box_vote_iou=0.0, tta_flip=False):
     import jax.numpy as jnp
     if reg_config_path:
         cfg = read_py_config(reg_config_path)
@@ -46,20 +46,16 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                        output_dir='')
     key = jax.random.PRNGKey(0)
 
-    detector = SSDDetector(num_classes=9, dtype=jnp.bfloat16)
-    det_vars = jax.jit(detector.init)(key, jnp.zeros((1, 300, 300, 3), jnp.float32))
     if det_checkpoint:
-        from tpudet3d.utils.checkpoint import merge_matching
-        import orbax.checkpoint as ocp
-        with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(osp.abspath(det_checkpoint))
-        saved = restored['state'] if 'state' in restored else restored
-        # prefer the EMA average when the snapshot carries one
-        saved_params = saved.get('ema_params') or saved['params']
-        det_vars = {'params': merge_matching(jax.device_get(det_vars['params']),
-                                             saved_params),
-                    'batch_stats': saved.get('batch_stats',
-                                             det_vars.get('batch_stats', {}))}
+        # checkpoint-driven construction: a cascade snapshot instantiates
+        # the cascade model automatically (tpudet3d/detect/load.py)
+        from tpudet3d.detect import load_detector
+        detector, det_vars = load_detector(det_checkpoint,
+                                           dtype=jnp.bfloat16)
+    else:
+        detector = SSDDetector(num_classes=9, dtype=jnp.bfloat16)
+        det_vars = jax.jit(detector.init)(
+            key, jnp.zeros((1, 300, 300, 3), jnp.float32))
 
     regressor = build_model(cfg)
     # crop at the regressor's trained input size (configs may deviate from
@@ -91,6 +87,7 @@ def build_engine(reg_config_path, det_checkpoint='', reg_checkpoint='',
                                        score_thr=score_thr,
                                        soft_nms_sigma=soft_nms_sigma,
                                        soft_nms_dup_iou=soft_nms_dup_iou,
+                                       box_vote_iou=box_vote_iou,
                                        tta_flip=tta_flip))
 
 

@@ -93,6 +93,10 @@ def main():
                              'this IoU are zeroed, not decayed (1.0 = '
                              'pure gaussian decay)')
     parser.add_argument('--max_detections', type=int, default=8)
+    parser.add_argument('--box_vote', type=float, default=0.0,
+                        help='box-voting IoU threshold: surviving boxes '
+                             'become the score-weighted mean of pre-NMS '
+                             'candidates above this overlap (0 = off)')
     parser.add_argument('--tta_flip', action='store_true',
                         help='horizontal-flip test-time augmentation for '
                              'the regressor: crop + mirror in one doubled '
@@ -139,6 +143,7 @@ def main():
                           soft_nms_sigma=args.soft_nms,
                           soft_nms_dup_iou=args.soft_nms_dup,
                           max_detections=args.max_detections,
+                          box_vote_iou=args.box_vote,
                           tta_flip=args.tta_flip)
     gt_box_regressor = None
     if args.gt_boxes:

@@ -77,7 +77,8 @@ def main():
 
     dtype = jnp.bfloat16 if cfg.model.get('bf16', False) else jnp.float32
     model = SSDDetector(num_classes=int(cfg.model.num_classes),
-                        width_mult=float(cfg.model.width_mult), dtype=dtype)
+                        width_mult=float(cfg.model.width_mult), dtype=dtype,
+                        cascade=bool(cfg.model.get('cascade', False)))
 
     base_lr = float(cfg.optim.lr)
     opt = optax.inject_hyperparams(
@@ -145,7 +146,9 @@ def main():
     trainer = DetectorTrainer(
         train_step=make_detector_train_step(
             model, opt, use_balance=bool(cfg.train_cfg.loss_balancing),
-            ema_decay=ema_decay),
+            ema_decay=ema_decay,
+            giou_weight=float(cfg.train_cfg.get('giou_weight', 0.0) or 0.0),
+            cascade_pos_thr=float(cfg.train_cfg.get('cascade_pos_thr', 0.5))),
         state=state, train_loader=loader, lr_fn=lr_fn, opt_set_lr=set_lr,
         max_epoch=int(cfg.data.max_epochs), log_path=cfg.output_dir,
         print_freq=int(cfg.utils.print_freq),

@@ -67,7 +67,7 @@ def match_boxes_to_gt(pred_boxes, gt_boxes, iou_thr=0.25):
 
 def generate_selflabel_boxes(scene, det_checkpoint, out_path,
                              score_thr=0.05, iou_match=0.25, batch=32,
-                             max_per_img=16):
+                             max_per_img=16, box_vote_iou=0.0):
     """Run the trained detector over every scene in ``scene``
     (data.synthetic_scene.SyntheticScene) and write matched per-object
     predicted boxes (frame pixels) to ``out_path`` (.npz).
@@ -81,23 +81,10 @@ def generate_selflabel_boxes(scene, det_checkpoint, out_path,
     import jax.numpy as jnp
     import cv2 as cv
 
-    from ..detect import (SSDDetector, generate_anchors, decode_detections,
-                          INPUT_SIZE)
-    from ..utils.checkpoint import merge_matching
-    import orbax.checkpoint as ocp
+    from ..detect import (generate_anchors, decode_detections, INPUT_SIZE,
+                          load_detector)
 
-    detector = SSDDetector(num_classes=9, dtype=jnp.bfloat16)
-    det_vars = jax.jit(detector.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3),
-                                         jnp.float32))
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(osp.abspath(det_checkpoint))
-    saved = restored['state'] if 'state' in restored else restored
-    saved_params = saved.get('ema_params') or saved['params']
-    det_vars = {'params': merge_matching(jax.device_get(det_vars['params']),
-                                         saved_params),
-                'batch_stats': saved.get('batch_stats',
-                                         det_vars.get('batch_stats', {}))}
+    detector, det_vars = load_detector(det_checkpoint, dtype=jnp.bfloat16)
     anchors = jnp.asarray(generate_anchors())
 
     @jax.jit
@@ -108,6 +95,7 @@ def generate_selflabel_boxes(scene, det_checkpoint, out_path,
         return jax.vmap(lambda l, d: decode_detections(
             l, d, anchors, score_thr=score_thr,
             max_per_img=max_per_img,
+            box_vote_iou=box_vote_iou,
             pre_nms_k=4 * max_per_img))(logits, deltas)
 
     n_scenes = len(scene)

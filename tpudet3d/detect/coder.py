@@ -3,9 +3,14 @@
 
 import jax.numpy as jnp
 
-__all__ = ['encode_boxes', 'decode_boxes', 'DEFAULT_STDS']
+__all__ = ['encode_boxes', 'decode_boxes', 'DEFAULT_STDS', 'CASCADE_STDS']
 
 DEFAULT_STDS = (0.1, 0.1, 0.2, 0.2)
+# Second-regression stds (cascade head): the refined anchors already sit
+# near the GT, so the residuals are small — halved stds give the head a
+# finer effective resolution, same rationale as Cascade R-CNN's
+# per-stage target_stds tightening.
+CASCADE_STDS = (0.05, 0.05, 0.1, 0.1)
 
 
 def _xyxy_to_cxcywh(boxes):

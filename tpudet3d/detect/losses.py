@@ -12,9 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from .assigner import assign_anchors
-from .coder import encode_boxes
+from .coder import CASCADE_STDS, decode_boxes, encode_boxes
 
-__all__ = ['ssd_loss']
+__all__ = ['ssd_loss', 'giou_xyxy_paired']
 
 
 def _per_anchor_ce(logits, labels):
@@ -23,14 +23,42 @@ def _per_anchor_ce(logits, labels):
     return lse - picked
 
 
+def giou_xyxy_paired(a, b):
+    """Elementwise GIoU (Rezatofighi et al. 2019) for paired boxes
+    a, b [...,4] xyxy → [...]. Scale-invariant, in [-1, 1]."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (jnp.clip(a[..., 2] - a[..., 0], 0) *
+              jnp.clip(a[..., 3] - a[..., 1], 0))
+    area_b = (jnp.clip(b[..., 2] - b[..., 0], 0) *
+              jnp.clip(b[..., 3] - b[..., 1], 0))
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = jnp.clip(erb - elt, 0)
+    earea = ewh[..., 0] * ewh[..., 1]
+    return iou - (earea - union) / jnp.maximum(earea, 1e-9)
+
+
 def ssd_loss(cls_logits, bbox_deltas, anchors, gt_boxes, gt_labels, gt_valid,
              balance_params=None, neg_pos_ratio=3, smoothl1_beta=1.0,
-             pos_thr=0.4, neg_thr=0.4, uniform_neg_weight=0.1):
+             pos_thr=0.4, neg_thr=0.4, uniform_neg_weight=0.1,
+             cascade_deltas=None, cascade_pos_thr=0.5, giou_weight=0.0):
     """Batched SSD loss.
 
     cls_logits [B,A,C+1]; bbox_deltas [B,A,4]; anchors [A,4];
     gt_boxes [B,G,4] (padded), gt_labels [B,G] int32, gt_valid [B,G] bool.
     balance_params: optional (s_cls, s_reg) log-variance scalars.
+    cascade_deltas: optional stage-2 deltas [B,A,4] (SSDDetector cascade);
+    targets for them are re-assigned against the stage-1 DECODED boxes at
+    the tighter ``cascade_pos_thr`` and encoded at CASCADE_STDS.
+    giou_weight: adds ``w * (1 - GIoU(decoded, gt))`` over positives to
+    each stage's regression loss — SmoothL1 on deltas optimizes the
+    coder's metric, GIoU optimizes the box overlap the chain actually
+    consumes (crop framing for stage 2).
     Returns (total_loss, dict of scalars).
 
     ``uniform_neg_weight`` adds a small CE term over ALL negatives on top of
@@ -43,7 +71,7 @@ def ssd_loss(cls_logits, bbox_deltas, anchors, gt_boxes, gt_labels, gt_valid,
     num_classes = cls_logits.shape[-1] - 1
     background = num_classes
 
-    def per_image(logits, deltas, boxes, labels, valid):
+    def per_image(logits, deltas, deltas2, boxes, labels, valid):
         assigned, pos = assign_anchors(anchors, boxes, valid,
                                        pos_thr=pos_thr, neg_thr=neg_thr)
         safe_gt = jnp.maximum(assigned, 0)
@@ -75,10 +103,43 @@ def ssd_loss(cls_logits, bbox_deltas, anchors, gt_boxes, gt_labels, gt_valid,
                         0.5 * diff * diff / smoothl1_beta,
                         diff - 0.5 * smoothl1_beta)
         reg_loss = jnp.sum(jnp.where(pos[:, None], sl1, 0.0)) / denom
+        if giou_weight:
+            dec1 = decode_boxes(anchors, deltas)
+            g1 = 1.0 - giou_xyxy_paired(dec1, boxes[safe_gt])
+            reg_loss = reg_loss + giou_weight * jnp.sum(
+                jnp.where(pos, g1, 0.0)) / denom
+
+        if cascade_deltas is not None:
+            # stage 2 regresses the residual from the stage-1 DECODED box;
+            # stop_gradient keeps the stages' objectives independent
+            # (Cascade R-CNN trains each stage on the previous stage's
+            # outputs, not through them)
+            refined = decode_boxes(anchors, jax.lax.stop_gradient(deltas))
+            assigned2, pos2 = assign_anchors(refined, boxes, valid,
+                                             pos_thr=cascade_pos_thr,
+                                             neg_thr=cascade_pos_thr)
+            safe2 = jnp.maximum(assigned2, 0)
+            t2 = encode_boxes(refined, boxes[safe2], stds=CASCADE_STDS)
+            diff2 = jnp.abs(deltas2 - t2)
+            sl2 = jnp.where(diff2 < smoothl1_beta,
+                            0.5 * diff2 * diff2 / smoothl1_beta,
+                            diff2 - 0.5 * smoothl1_beta)
+            denom2 = jnp.maximum(jnp.sum(pos2), 1).astype(jnp.float32)
+            reg2 = jnp.sum(jnp.where(pos2[:, None], sl2, 0.0)) / denom2
+            if giou_weight:
+                dec2 = decode_boxes(refined, deltas2, stds=CASCADE_STDS)
+                g2 = 1.0 - giou_xyxy_paired(dec2, boxes[safe2])
+                reg2 = reg2 + giou_weight * jnp.sum(
+                    jnp.where(pos2, g2, 0.0)) / denom2
+            reg_loss = reg_loss + reg2
         return cls_loss, reg_loss, n_pos
 
+    # deltas2 is a dummy copy of deltas when cascade is off (the branch
+    # above is Python-static, so the dummy is never read)
     cls_l, reg_l, n_pos = jax.vmap(per_image)(
-        cls_logits, bbox_deltas, gt_boxes, gt_labels, gt_valid)
+        cls_logits, bbox_deltas,
+        cascade_deltas if cascade_deltas is not None else bbox_deltas,
+        gt_boxes, gt_labels, gt_valid)
     cls_loss = jnp.mean(cls_l)
     reg_loss = jnp.mean(reg_l)
 

@@ -81,10 +81,12 @@ def soft_nms(boxes, scores, sigma=0.5, dup_iou=1.0):
 
 
 @partial(jax.jit, static_argnames=('max_per_img', 'pre_nms_k',
-                                   'soft_nms_sigma', 'soft_nms_dup_iou'))
+                                   'soft_nms_sigma', 'soft_nms_dup_iou',
+                                   'box_vote_iou'))
 def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
                       iou_thr=0.45, max_per_img=200, pre_nms_k=200,
-                      soft_nms_sigma=0.0, soft_nms_dup_iou=1.0):
+                      soft_nms_sigma=0.0, soft_nms_dup_iou=1.0,
+                      box_vote_iou=0.0):
     """Single image: [A,C+1] logits + [A,4] deltas → [max_per_img, 6]
     (x1,y1,x2,y2,score,label), score-desc, padded with zeros.
 
@@ -92,7 +94,14 @@ def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
     greedy NMS to gaussian soft-NMS (scores decay by overlap; the
     ``score_thr`` floor re-applies to the decayed scores);
     ``soft_nms_dup_iou < 1`` zeroes near-duplicates above that IoU (see
-    ``soft_nms``)."""
+    ``soft_nms``).
+
+    ``box_vote_iou > 0`` enables box voting (Gidaris & Komodakis 2015):
+    each surviving box is replaced by the score-weighted average of ALL
+    pre-NMS candidates overlapping it above the threshold.  The anchors
+    that lost NMS are independent estimates of the same object's extent;
+    averaging them cancels per-anchor regression noise — a pure
+    localization refinement, scores/ranking untouched."""
     num_classes = cls_logits.shape[-1] - 1
     probs = jax.nn.softmax(cls_logits, axis=-1)[:, :num_classes]   # [A,C]
     boxes_all = decode_boxes(anchors, bbox_deltas)                 # [A,4]
@@ -111,6 +120,14 @@ def decode_detections(cls_logits, bbox_deltas, anchors, score_thr=0.02,
         else:
             keep = greedy_nms(top_boxes, top_scores, iou_thr)
             kept_scores = jnp.where(keep, top_scores, 0.0)
+        if box_vote_iou > 0.0:
+            v_ious = iou_xyxy(top_boxes, top_boxes)            # [K,K]
+            # padded/below-floor candidates carry score 0 → zero weight
+            w = jnp.where(v_ious > box_vote_iou, top_scores[None, :], 0.0)
+            voted = (w @ top_boxes) / jnp.maximum(
+                jnp.sum(w, axis=1, keepdims=True), 1e-9)
+            top_boxes = jnp.where(kept_scores[:, None] > 0.0,
+                                  voted, top_boxes)
         return top_boxes, kept_scores
 
     boxes_c, scores_c = jax.vmap(per_class)(jnp.arange(num_classes))

@@ -75,10 +75,13 @@ def create_detector_state(model, optimizer, rng, input_size=300, batch=2,
 
 
 def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False,
-                             input_size=None, ema_decay=0.0):
+                             input_size=None, ema_decay=0.0, giou_weight=0.0,
+                             cascade_pos_thr=0.5):
     """``use_balance`` enables the (clamped) learned loss weighting; plain
     sum converges faster on short schedules (see losses.ssd_loss note).
-    ``input_size`` overrides the anchor grid (default: reference 300)."""
+    ``input_size`` overrides the anchor grid (default: reference 300).
+    A cascade model (SSDDetector(cascade=True)) returns per-stage deltas
+    in train mode; the loss then adds the stage-2 term automatically."""
     anchors = jnp.asarray(generate_anchors()
                           if input_size is None else
                           generate_anchors(input_size))
@@ -90,12 +93,17 @@ def make_detector_train_step(model, optimizer, lr_fn=None, use_balance=False,
                 {'params': trainable['model'],
                  'batch_stats': state.batch_stats},
                 imgs, train=True, mutable=['batch_stats'])
+            if isinstance(deltas, tuple):
+                deltas, deltas2 = deltas
+            else:
+                deltas2 = None
             balance = ((trainable['balance']['s_cls'],
                         trainable['balance']['s_reg'])
                        if use_balance else None)
             total, parts = ssd_loss(
                 logits, deltas, anchors, gt_boxes, gt_labels, gt_valid,
-                balance_params=balance)
+                balance_params=balance, cascade_deltas=deltas2,
+                cascade_pos_thr=cascade_pos_thr, giou_weight=giou_weight)
             return total, (mutated['batch_stats'], parts)
 
         trainable = {'model': state.params, 'balance': state.balance}

@@ -56,9 +56,12 @@ def _flatten_with_paths(tree):
     return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
 
 
-def merge_matching(target_tree, source_tree, verbose=True):
+def merge_matching(target_tree, source_tree, verbose=True,
+                   return_count=False):
     """Copy leaves from source into target wherever path AND shape match
-    (reference load_pretrained_weights tolerance, utils.py:127-183)."""
+    (reference load_pretrained_weights tolerance, utils.py:127-183).
+    ``return_count=True`` additionally returns the matched-leaf count so
+    strict callers (detect/load.py) can refuse partial restores."""
     src = _flatten_with_paths(source_tree)
     matched, discarded = [], []
 
@@ -79,6 +82,8 @@ def merge_matching(target_tree, source_tree, verbose=True):
             print(f'** skipped {len(discarded)} unmatched leaves '
                   f'(first few: {discarded[:5]})')
         print(f'Successfully loaded {len(matched)} matching leaves')
+    if return_count:
+        return merged, len(matched)
     return merged
 
 
