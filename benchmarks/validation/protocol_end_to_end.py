@@ -74,6 +74,9 @@ def main():
     ap.add_argument('--box_vote', type=float, default=0.0,
                     help='box-voting IoU threshold for the detector decode '
                          '(0 = off; forwarded to objectron_eval)')
+    ap.add_argument('--host_downscale', type=int, default=1,
+                    help='host 1/d downscale before upload (forwarded; '
+                         'prices the link-bound serving mode accuracy)')
     args = ap.parse_args()
     classes = (list(OBJECTRON_CLASSES) if args.classes == ['all']
                else args.classes)
@@ -111,6 +114,7 @@ def main():
          '--soft_nms_dup', str(args.soft_nms_dup),
          '--det_score_thr', str(args.det_score_thr),
          '--box_vote', str(args.box_vote),
+         '--host_downscale', str(args.host_downscale),
          '--max_detections', str(args.max_detections)]
         + (['--int8'] if args.int8 else [])
         + (['--tta_flip'] if args.tta_flip else [])

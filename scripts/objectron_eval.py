@@ -97,6 +97,13 @@ def main():
                         help='box-voting IoU threshold: surviving boxes '
                              'become the score-weighted mean of pre-NMS '
                              'candidates above this overlap (0 = off)')
+    parser.add_argument('--host_downscale', type=int, default=1,
+                        help='host-side 1/d frame downscale before upload '
+                             '(the link-bound serving mode); frames run '
+                             'through the per-frame engine path, boxes are '
+                             'rescaled to source pixels — this flag prices '
+                             'the accuracy cost of the 21.8 fps '
+                             'downscale-2 operating point')
     parser.add_argument('--tta_flip', action='store_true',
                         help='horizontal-flip test-time augmentation for '
                              'the regressor: crop + mirror in one doubled '
@@ -144,6 +151,7 @@ def main():
                           soft_nms_dup_iou=args.soft_nms_dup,
                           max_detections=args.max_detections,
                           box_vote_iou=args.box_vote,
+                          host_downscale=args.host_downscale,
                           tta_flip=args.tta_flip)
     gt_box_regressor = None
     if args.gt_boxes:
@@ -190,9 +198,9 @@ def main():
         # frames share one fused XLA program dispatch, which also amortizes
         # the host→device round-trip.  Decoding streams chunk by chunk so
         # memory stays O(batch), not O(shard).
-        assert int(engine.cfg.host_downscale) == 1, \
-            'eval requires full-resolution frames (infer_batch has no ' \
-            'host-downscale path)'
+        # infer_batch has no host-downscale path: when downscaling, every
+        # chunk runs the per-frame engine (identical accuracy, slower)
+        force_per_frame = int(engine.cfg.host_downscale) != 1
 
         def stream_examples():
             n = 0
@@ -239,7 +247,7 @@ def main():
                                             np.float32),
                         'kp': np.asarray([o[0] for o in outs], np.float32),
                     })
-            elif len(chunk) > 1:
+            elif len(chunk) > 1 and not force_per_frame:
                 pad = chunk + chunk[-1:] * (args.batch - len(chunk))
                 results = engine.infer_batch(
                     np.stack([e[0] for e in pad]))[:len(chunk)]
