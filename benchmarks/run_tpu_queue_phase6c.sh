@@ -1,0 +1,128 @@
+#!/bin/bash
+# TPU queue, phase 6c — round-5 part C: the serving lever + the last
+# zero-measurement config + final-state numbers.
+#
+#   1. roofline A/B after the crop-stage bytes cut (VERDICT r4 item 6):
+#      ops/image.py now picks the contraction order that minimizes the
+#      half-resized intermediate AND stores it in the compute dtype
+#      (bf16) instead of unconditional f32 — at 720p/K=8 that tensor
+#      drops 22 MB -> 7.7 MB per frame.  Compare fps + %HBM-peak to the
+#      round-4 row (3,043.5 fps, 62.3% of 819 GB/s — BASELINE.md).
+#   2. fresh serving profile for the bytes attribution post-change.
+#   3. hpo_big (VERDICT r4 item 2): the 2x-scenes/60-epoch/EMA recipe on
+#      the winning HPO loss — train (resume-aware) + chain protocol row
+#      at the miss-recovery operating point.
+#   4. bench.py on the final tree (driver reruns it at round end; this
+#      leg records the same numbers next to the queue logs).
+#
+# Single-tenant TPU: run alone, after phases 6a/6b.
+#
+# Usage: bash benchmarks/run_tpu_queue_phase6c.sh [logdir]
+
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=${1:-output/tpu_queue6c}
+mkdir -p "$LOGDIR"
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}
+
+declare -a NAMES RCS
+
+step() {
+    local name=$1; shift
+    echo "=== $name: $* (log: $LOGDIR/$name.log)"
+    timeout 16000 "$@" > "$LOGDIR/$name.log" 2>&1
+    local rc=$?
+    NAMES+=("$name"); RCS+=("$rc")
+    echo "=== $name rc=$rc"
+    return $rc
+}
+
+skip_step() {
+    local name=$1 why=$2
+    echo "=== $name SKIPPED: $why"
+    NAMES+=("$name"); RCS+=("SKIP($why)")
+}
+
+rc_of() {
+    local i
+    for i in "${!NAMES[@]}"; do
+        if [ "${NAMES[$i]}" = "$1" ]; then echo "${RCS[$i]}"; return; fi
+    done
+    echo ""
+}
+
+done_log() {
+    [ -s "$LOGDIR/$1.log" ] && grep -q "$2" "$LOGDIR/$1.log"
+}
+
+step tpu_sanity python -c "import jax; ds = jax.devices(); assert ds[0].platform == 'tpu', ds; print(ds)"
+if [ "$(rc_of tpu_sanity)" != 0 ]; then
+    echo "TPU unreachable — aborting queue"; exit 1
+fi
+
+# 1. serving roofline A/B (weights are random-init: same program shape,
+#    pure perf measurement — matches how the round-4 row was produced)
+if done_log roofline_ab 'of HBM peak'; then
+    echo "=== roofline_ab: already measured, skipping"
+    NAMES+=("roofline_ab"); RCS+=("0")
+else
+    step roofline_ab python benchmarks/roofline_serving.py --batch 32
+fi
+
+# 2. fresh op-level profile for the post-change bytes attribution
+if done_log profile_serving 'TOTAL\|total'; then
+    echo "=== profile_serving: already measured, skipping"
+    NAMES+=("profile_serving"); RCS+=("0")
+else
+    step profile_serving python benchmarks/profile_serving.py
+fi
+
+# 3. hpo_big: train (resume-aware) + protocol row
+train_hpo_big() {
+    local cfg=configs/scene_regressor_el0_hpo_big.py
+    local out=output/scene_regressor_el0_hpo_big
+    if [ -d "${out}/snap_59" ]; then
+        echo "=== train_hpo_big: snap_59 exists, skipping"
+        NAMES+=("train_hpo_big"); RCS+=("0")
+        return
+    fi
+    local LAST
+    LAST=$(ls -d ${out}/snap_* 2>/dev/null | sed 's/.*snap_//' | sort -n | tail -1)
+    if [ -n "${LAST:-}" ]; then
+        sed -e "s#resume=''#resume='./${out}/snap_${LAST}'#" \
+            "$cfg" > "$LOGDIR/hpo_big_resume_cfg.py"
+        if ! grep -q "snap_${LAST}" "$LOGDIR/hpo_big_resume_cfg.py"; then
+            echo "=== train_hpo_big: resume substitution FAILED"
+            NAMES+=("train_hpo_big"); RCS+=("RESUME_SUBST_FAILED")
+            return
+        fi
+        step train_hpo_big python scripts/main.py \
+            --config "$LOGDIR/hpo_big_resume_cfg.py" --output_dir "$out"
+    else
+        step train_hpo_big python scripts/main.py --config "$cfg"
+    fi
+}
+train_hpo_big
+if [ "$(rc_of train_hpo_big)" = 0 ]; then
+    if done_log proto_hpo_big '^MEAN'; then
+        echo "=== proto_hpo_big: already measured, skipping"
+        NAMES+=("proto_hpo_big"); RCS+=("0")
+    else
+        step proto_hpo_big python benchmarks/validation/protocol_end_to_end.py \
+            --skip_train --reg_config configs/scene_regressor_el0_hpo_big.py \
+            --refine_passes 1 --det_tresh 0.01 --det_score_thr 0.005 \
+            --soft_nms 0.5 --soft_nms_dup 0.75 \
+            --report_dir output/protocol_reports_hpo_big
+    fi
+else
+    skip_step proto_hpo_big "train_hpo_big rc=$(rc_of train_hpo_big)"
+fi
+
+# 4. bench on the final tree
+step bench_final python bench.py
+
+echo
+echo "=== queue summary"
+for i in "${!NAMES[@]}"; do
+    echo "${NAMES[$i]}: rc=${RCS[$i]}"
+done

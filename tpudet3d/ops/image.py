@@ -99,6 +99,16 @@ def crop_and_resize(image, boxes, out_hw=(224, 224),
     h_in, w_in = image.shape[0], image.shape[1]
     h_out, w_out = out_hw
     image = image.astype(compute_dtype)
+    # Contract the axis that yields the SMALLER intermediate first: the
+    # half-resized [K, ·, ·, 3] tensor is the largest HBM round trip of the
+    # serving program's crop stage (height-first is K·h_out·W·3, width-first
+    # is K·H·w_out·3 — for landscape frames 480×640/720×1280 → 224² crops,
+    # width-first is 25–45% smaller).  It is also STORED in the compute
+    # dtype (accumulation stays f32 via preferred_element_type): the
+    # unconditional-f32 store doubled the dominant intermediate's bytes,
+    # and bf16 rounding of a half-interpolated pixel is ~0.5 gray-level —
+    # below the crops' JPEG/interpolation noise (VERDICT r4 item 6).
+    height_first = h_out * w_in <= h_in * w_out
 
     def one(box):
         x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
@@ -108,10 +118,18 @@ def crop_and_resize(image, boxes, out_hw=(224, 224),
         xs = (jnp.arange(w_out, dtype=jnp.float32) + 0.5) * (bw / w_out) - 0.5 + x0
         wy = _interp_matrix(ys, h_in).astype(compute_dtype)        # [h, H]
         wx = _interp_matrix(xs, w_in).astype(compute_dtype)        # [w, W]
-        rows = jnp.einsum('ph,hwc->pwc', wy, image,
-                          preferred_element_type=jnp.float32)
-        out = jnp.einsum('qw,pwc->pqc', wx.astype(jnp.float32), rows,
-                         preferred_element_type=jnp.float32)
+        if height_first:
+            rows = jnp.einsum('ph,hwc->pwc', wy, image,
+                              preferred_element_type=jnp.float32)
+            rows = rows.astype(compute_dtype)                      # [h, W, 3]
+            out = jnp.einsum('qw,pwc->pqc', wx, rows,
+                             preferred_element_type=jnp.float32)
+        else:
+            cols = jnp.einsum('qw,hwc->hqc', wx, image,
+                              preferred_element_type=jnp.float32)
+            cols = cols.astype(compute_dtype)                      # [H, w, 3]
+            out = jnp.einsum('ph,hqc->pqc', wy, cols,
+                             preferred_element_type=jnp.float32)
         # accumulate in f32 (preferred_element_type), store crops in the
         # compute dtype: the [K,224,224,3] intermediate is read once by
         # the regressor stem, and halving it saves HBM round trips
