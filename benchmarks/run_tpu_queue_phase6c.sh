@@ -62,7 +62,7 @@ fi
 
 # 1. serving roofline A/B (weights are random-init: same program shape,
 #    pure perf measurement — matches how the round-4 row was produced)
-if done_log roofline_ab 'of HBM peak'; then
+if done_log roofline_ab 'HBM peak'; then
     echo "=== roofline_ab: already measured, skipping"
     NAMES+=("roofline_ab"); RCS+=("0")
 else

@@ -28,7 +28,7 @@ LOG6C=output/tpu_queue6c
 mkdir -p "$LOG6C"
 
 # 1. pulled-forward cheap perf legs (same logs/gates as phase 6c)
-if [ -s "$LOG6C/roofline_ab.log" ] && grep -q 'of HBM peak' "$LOG6C/roofline_ab.log"; then
+if [ -s "$LOG6C/roofline_ab.log" ] && grep -q 'HBM peak' "$LOG6C/roofline_ab.log"; then
     echo "=== roofline_ab already measured"
 else
     timeout 3000 python benchmarks/roofline_serving.py --batch 32 \
