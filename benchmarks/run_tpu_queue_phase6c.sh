@@ -1,19 +1,23 @@
 #!/bin/bash
-# TPU queue, phase 6c — round-5 part C: the serving lever + the last
-# zero-measurement config + final-state numbers.
+# TPU queue, phase 6c — round-5 part C (REORDERED mid-round: the cheap,
+# highest-value legs run before the multi-hour hpo_big training so a
+# round boundary cuts the right tail):
 #
 #   1. roofline A/B after the crop-stage bytes cut (VERDICT r4 item 6):
 #      ops/image.py now picks the contraction order that minimizes the
 #      half-resized intermediate AND stores it in the compute dtype
-#      (bf16) instead of unconditional f32 — at 720p/K=8 that tensor
-#      drops 22 MB -> 7.7 MB per frame.  Compare fps + %HBM-peak to the
-#      round-4 row (3,043.5 fps, 62.3% of 819 GB/s — BASELINE.md).
-#   2. fresh serving profile for the bytes attribution post-change.
-#   3. hpo_big (VERDICT r4 item 2): the 2x-scenes/60-epoch/EMA recipe on
-#      the winning HPO loss — train (resume-aware) + chain protocol row
-#      at the miss-recovery operating point.
-#   4. bench.py on the final tree (driver reruns it at round end; this
-#      leg records the same numbers next to the queue logs).
+#      (bf16).  Compare fps + %HBM-peak to the round-4 row (3,043.5 fps,
+#      62.3% of 819 GB/s).  (First attempt crashed on the pre-fix probe;
+#      the done-log gate re-runs it with the fixed code.)
+#   2. fresh serving profile for the bytes attribution post-change
+#      (already measured by the pulled-forward chain leg — gate skips).
+#   3. NEW chain arms on the best 6b cell (cascade + vote 0.5): does a
+#      second refine pass / flip-TTA / tighter refine margin close the
+#      remaining 0.655 -> 0.67 undiluted-chain gap? (VERDICT r4 item 1 —
+#      the round's #1 item; ceiling is 0.693 on this container.)
+#   4. hpo_big (VERDICT r4 item 2): 2x-scenes/60-epoch/EMA on the
+#      winning HPO loss — train (resume-aware) + chain protocol row.
+#   5. bench.py on the final tree.
 #
 # Single-tenant TPU: run alone, after phases 6a/6b.
 #
@@ -77,7 +81,29 @@ else
     step profile_serving python benchmarks/profile_serving.py
 fi
 
-# 3. hpo_big: train (resume-aware) + protocol row
+# 3. chain arms on the best 6b cell: cascade detector + box vote 0.5,
+#    undiluted hard-NMS t=0.05, hpo_s2 regressor — one extra lever each
+REG=configs/scene_regressor_el0_hpo_s2.py
+CASC="--det_dir output/detector_cascade --det_tresh 0.05 --box_vote 0.5"
+chain() {
+    local name=$1; shift
+    if done_log "$name" '^MEAN'; then
+        echo "=== $name: already measured, skipping"
+        NAMES+=("$name"); RCS+=("0"); return
+    fi
+    step "$name" python benchmarks/validation/protocol_end_to_end.py \
+        --skip_train --reg_config $REG $CASC "$@"
+}
+chain chain_cv_refine2_t05 --refine_passes 2 \
+    --report_dir output/protocol_reports_chain_cv_refine2
+chain chain_cv_tta_t05 --refine_passes 1 --tta_flip \
+    --report_dir output/protocol_reports_chain_cv_tta
+chain chain_cv_r2tta_t05 --refine_passes 2 --tta_flip \
+    --report_dir output/protocol_reports_chain_cv_r2tta
+chain chain_cv_margin6_t05 --refine_passes 1 --refine_margin 6 \
+    --report_dir output/protocol_reports_chain_cv_margin6
+
+# 4. hpo_big: train (resume-aware) + protocol row
 train_hpo_big() {
     local cfg=configs/scene_regressor_el0_hpo_big.py
     local out=output/scene_regressor_el0_hpo_big
@@ -118,7 +144,7 @@ else
     skip_step proto_hpo_big "train_hpo_big rc=$(rc_of train_hpo_big)"
 fi
 
-# 4. bench on the final tree
+# 5. bench on the final tree
 step bench_final python bench.py
 
 echo
