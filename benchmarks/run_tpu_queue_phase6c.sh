@@ -81,6 +81,34 @@ else
     step profile_serving python benchmarks/profile_serving.py
 fi
 
+# 2b. phase-6d's two cheap probes, pulled FORWARD (the raw instruction
+#     attribution gates the round's last perf lever — running it here
+#     instead of after the multi-hour hpo_big leg buys hours of lead
+#     time).  Written to phase-6d's OWN logdir so its done-log gates
+#     skip them when that queue fires.
+LOG6D=output/tpu_queue6d
+mkdir -p "$LOG6D"
+if [ -s "$LOG6D/profile_serving_raw.log" ] && grep -qi 'total' "$LOG6D/profile_serving_raw.log"; then
+    echo "=== profile_serving_raw: already measured, skipping"
+    NAMES+=("profile_serving_raw"); RCS+=("0")
+else
+    echo "=== profile_serving_raw (log: $LOG6D/profile_serving_raw.log)"
+    timeout 3000 python benchmarks/profile_serving.py --raw --top 60 \
+        > "$LOG6D/profile_serving_raw.log" 2>&1
+    rc=$?; NAMES+=("profile_serving_raw"); RCS+=("$rc")
+    echo "=== profile_serving_raw rc=$rc"
+fi
+if [ -s "$LOG6D/roofline_b64.log" ] && grep -q 'HBM peak' "$LOG6D/roofline_b64.log"; then
+    echo "=== roofline_b64: already measured, skipping"
+    NAMES+=("roofline_b64"); RCS+=("0")
+else
+    echo "=== roofline_b64 (log: $LOG6D/roofline_b64.log)"
+    timeout 3000 python benchmarks/roofline_serving.py --batch 64 \
+        > "$LOG6D/roofline_b64.log" 2>&1
+    rc=$?; NAMES+=("roofline_b64"); RCS+=("$rc")
+    echo "=== roofline_b64 rc=$rc"
+fi
+
 # 3. chain arms on the best 6b cell: cascade detector + box vote 0.5,
 #    undiluted hard-NMS t=0.05, hpo_s2 regressor — one extra lever each
 REG=configs/scene_regressor_el0_hpo_s2.py
