@@ -131,6 +131,20 @@ chain chain_cv_r2tta_t05 --refine_passes 2 --tta_flip \
 chain chain_cv_margin6_t05 --refine_passes 1 --refine_margin 6 \
     --report_dir output/protocol_reports_chain_cv_margin6
 
+# 3b. opportunistic hook: if a pre-hpo_big measurement script exists by
+#     the time the queue reaches this point (e.g. a pallas-preproc A/B
+#     built while the arms ran), execute it now instead of after the
+#     multi-hour training leg.  Absent file = skipped, zero cost.
+if [ -f benchmarks/hook_pre_hpo_big.sh ]; then
+    echo "=== hook_pre_hpo_big (log: $LOGDIR/hook_pre_hpo_big.log)"
+    timeout 3000 bash benchmarks/hook_pre_hpo_big.sh \
+        > "$LOGDIR/hook_pre_hpo_big.log" 2>&1
+    rc=$?; NAMES+=("hook_pre_hpo_big"); RCS+=("$rc")
+    echo "=== hook_pre_hpo_big rc=$rc"
+else
+    echo "=== hook_pre_hpo_big: no hook present, skipping"
+fi
+
 # 4. hpo_big: train (resume-aware) + protocol row
 train_hpo_big() {
     local cfg=configs/scene_regressor_el0_hpo_big.py
