@@ -43,8 +43,11 @@ done_log() {
 step 120 tpu_sanity python -c "import jax; ds = jax.devices(); assert ds[0].platform == 'tpu', ds; print(ds)"
 if [ "${RCS[0]}" != 0 ]; then echo "TPU unreachable — aborting"; exit 1; fi
 
-# 1. hpo_big chain arm (gated on the 6c training leg having finished)
-if [ -d output/scene_regressor_el0_hpo_big/snap_59 ]; then
+# 1. hpo_big chain arm — any snapshot counts (objectron_eval resolves the
+#    LATEST snapshot from the config's output_dir, so a timeout-cut
+#    training still yields a measurable, honestly-labeled arm)
+if ls -d output/scene_regressor_el0_hpo_big/snap_* >/dev/null 2>&1; then
+    echo "hpo_big latest snapshot: $(ls -d output/scene_regressor_el0_hpo_big/snap_* | sed 's/.*snap_//' | sort -n | tail -1)"
     REG=configs/scene_regressor_el0_hpo_big.py
     CASC="--det_dir output/detector_cascade --det_tresh 0.05 --box_vote 0.5"
     if done_log "$LOGDIR/chain_big_cv_t05.log" '^MEAN'; then
@@ -64,7 +67,7 @@ if [ -d output/scene_regressor_el0_hpo_big/snap_59 ]; then
             --report_dir output/protocol_reports_ceiling_big
     fi
 else
-    echo "hpo_big snap_59 missing — skipping the chain arm"
+    echo "hpo_big has no snapshots — skipping the chain arm"
 fi
 
 # 2. raw profile retry (short cap — wedge-prone)
