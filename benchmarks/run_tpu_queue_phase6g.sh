@@ -85,49 +85,75 @@ if [ "$(rc_of tpu_sanity)" != 0 ]; then
     echo "TPU unreachable — aborting queue"; exit 1
 fi
 
-# 1. hpo_big training (first scene-cache generation happens in here)
-train_arm hpo_big 59 14000
-
-# 2. GT-box ceiling on whatever snapshot exists — the stage-2-ceiling
-#    question needs no detector
+# 1+2. hpo_big training in CHUNKS with an interleaved GT-box ceiling row
+#      after each chunk: a session cut mid-train still leaves a
+#      measurable, honestly-labeled (epoch-tagged) arm.  The ceiling
+#      question needs no detector.  Full train = 60 ep at ~205 s/ep.
 BIG=configs/scene_regressor_el0_hpo_big.py
-if has_snap output/scene_regressor_el0_hpo_big; then
-    if proto_done ceiling_big; then
-        echo "=== ceiling_big already measured"
-    else
-        step 3000 ceiling_big \
-            python benchmarks/validation/protocol_end_to_end.py \
-            --skip_train --reg_config $BIG --gt_boxes --refine_passes 0 \
-            --report_dir output/protocol_reports_ceiling_big
+ceiling_big_row() {
+    local LAST
+    LAST=$(ls -d output/scene_regressor_el0_hpo_big/snap_* 2>/dev/null \
+           | sed 's/.*snap_//' | sort -n | tail -1)
+    if [ -z "${LAST:-}" ]; then
+        echo "=== ceiling_big: no hpo_big snapshot yet, skipping"; return
     fi
-else
-    echo "=== ceiling_big SKIPPED: hpo_big has no snapshots"
-fi
+    if proto_done "ceiling_big_e${LAST}"; then
+        echo "=== ceiling_big_e${LAST} already measured"; return
+    fi
+    step 2400 "ceiling_big_e${LAST}" \
+        python benchmarks/validation/protocol_end_to_end.py \
+        --skip_train --reg_config $BIG --gt_boxes --refine_passes 0 \
+        --report_dir output/protocol_reports_ceiling_big_e${LAST}
+}
+train_arm hpo_big 59 2800    # chunk A → ~snap_9
+ceiling_big_row
+train_arm hpo_big 59 5200    # chunk B → ~snap_29/39
+ceiling_big_row
+train_arm hpo_big 59 5200    # chunk C → snap_59
+ceiling_big_row
 
-# 3. cascade detector (wiped with output/)
-if [ -d output/detector_cascade/snap_39 ]; then
-    echo "=== train_cascade: snap_39 exists, skipping"
-    NAMES+=("train_cascade"); RCS+=("0")
-else
-    step 16000 train_cascade python scripts/train_detector.py \
+# 3. cascade detector (wiped with output/) — chunked like the regressor;
+#    --resume auto continues from the latest detector snapshot
+train_cascade_chunk() {
+    local to=$1
+    if [ -d output/detector_cascade/snap_39 ]; then
+        echo "=== train_cascade: snap_39 exists, skipping"
+        NAMES+=("train_cascade"); RCS+=("0")
+        return
+    fi
+    step "$to" train_cascade python scripts/train_detector.py \
         --config configs/detection/mnv2_ssd_300_scene_cascade.py --resume auto
-fi
+}
 
-# 4. the pending chain row: hpo_big x cascade+vote, undiluted t=0.05
-CASC="--det_dir output/detector_cascade --det_tresh 0.05 --box_vote 0.5"
-if has_snap output/scene_regressor_el0_hpo_big \
-        && [ -d output/detector_cascade/snap_39 ]; then
-    if proto_done chain_big_cv_t05; then
-        echo "=== chain_big_cv_t05 already measured"
-    else
-        step 3000 chain_big_cv_t05 \
-            python benchmarks/validation/protocol_end_to_end.py \
-            --skip_train --reg_config $BIG $CASC --refine_passes 1 \
-            --report_dir output/protocol_reports_chain_big_cv
+# 4. the pending chain row: hpo_big x cascade+vote, undiluted t=0.05 —
+#    runs on the LATEST snapshots of both stages, epoch-tagged, so a
+#    partial detector still yields an honestly-labeled row
+chain_big_row() {
+    local DLAST RLAST
+    DLAST=$(ls -d output/detector_cascade/snap_* 2>/dev/null \
+            | sed 's/.*snap_//' | sort -n | tail -1)
+    RLAST=$(ls -d output/scene_regressor_el0_hpo_big/snap_* 2>/dev/null \
+            | sed 's/.*snap_//' | sort -n | tail -1)
+    if [ -z "${DLAST:-}" ] || [ -z "${RLAST:-}" ]; then
+        echo "=== chain_big: missing detector or regressor snapshot, skipping"
+        return
     fi
-else
-    echo "=== chain_big_cv_t05 SKIPPED: missing hpo_big snapshot or cascade detector"
-fi
+    local name="chain_big_cv_t05_d${DLAST}_r${RLAST}"
+    if proto_done "$name"; then
+        echo "=== $name already measured"; return
+    fi
+    step 2400 "$name" \
+        python benchmarks/validation/protocol_end_to_end.py \
+        --skip_train --reg_config $BIG \
+        --det_dir output/detector_cascade --det_tresh 0.05 --box_vote 0.5 \
+        --refine_passes 1 \
+        --report_dir output/protocol_reports_${name}
+}
+train_cascade_chunk 8000
+chain_big_row
+train_cascade_chunk 8000
+chain_big_row
+CASC="--det_dir output/detector_cascade --det_tresh 0.05 --box_vote 0.5"
 
 # 5. same-container hpo_s2 pairing arms (optional tail)
 train_arm hpo_s2 39 8000
