@@ -40,7 +40,11 @@ loss = dict(names=['wing', 'add_loss', 'cross_entropy'], coeffs=([1., .1], [.2])
 
 output_dir = './output/scene_regressor_el0_hpo_big'
 
-utils = dict(debug_mode=False, random_seeds=5, save_freq=10, print_freq=20,
+# save_freq 3 (not the family's 10): this 60-epoch cell trains across
+# driver-session boundaries that wipe nothing but CAN cut the process,
+# so dense snapshots keep the resume/measure queue's epoch-tagged rows
+# cheap.  Snapshot cadence does not affect the training math.
+utils = dict(debug_mode=False, random_seeds=5, save_freq=3, print_freq=20,
              debug_steps=100, eval_freq=5)
 
 regime = dict(type='training', vis_only=False)
